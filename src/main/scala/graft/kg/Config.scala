@@ -1,0 +1,26 @@
+package graft.kg
+
+/** Pipeline configuration mirroring the reference's DEFAULT_CONFIG
+  * (/root/reference/entityextractor/config/settings.py:12-101).
+  * Only the keys that drive engine semantics are carried; LLM/API knobs
+  * (rate limits, timeouts) have no Spark equivalent.
+  */
+final case class KgConfig(
+    language: String = "de",            // settings.py:21 LANGUAGE
+    maxEntities: Int = 10,              // settings.py:30 MAX_ENTITIES
+    maxRelations: Int = 15,             // settings.py:38 MAX_RELATIONS
+    implicitRelLimit: Int = 20,         // relationships.py:625 IMPLICIT_REL_LIMIT
+    minExtractLen: Int = 100,           // wikipedia/service.py:998-1004 fallback gate
+    chunkSize: Int = 1000,              // settings.py TEXT_CHUNK_SIZE
+    chunkOverlap: Int = 50,             // settings.py TEXT_CHUNK_OVERLAP
+    semanticDedup: Boolean = true,      // settings.py SEMANTIC_DEDUPLICATION
+    predSimThreshold: Double = 0.85,    // deduplication.py:431 similarity_threshold
+    mode: String = "extract",           // settings.py MODE (extract|generate)
+    relationExtraction: Boolean = true, // settings.py RELATION_EXTRACTION
+    enableEntityInference: Boolean = true, // implicit relations stage (R2)
+    nSalt: Int = 8                      // skew salting factor for the mention join
+)
+
+object KgConfig {
+  val default: KgConfig = KgConfig()
+}

@@ -1,0 +1,110 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG construction: pages → extract → link → relate →
+  * canonicalize → materialize (north_star stage graph; reference lifecycle
+  * core/process/orchestrator.py:143-355 re-expressed as pure
+  * DataFrame → DataFrame stages — SURVEY §3.1).
+  */
+object Pipeline {
+
+  final case class Dicts(
+      aliases: Seq[AliasRow],
+      patterns: Seq[PatternRow],
+      wiki: DataFrame,
+      redirects: DataFrame,
+      wd: DataFrame,
+      dbp: DataFrame,
+      wdPartOf: Map[String, Set[String]])
+
+  final case class Result(nodes: DataFrame, edges: DataFrame,
+      components: DataFrame, metrics: DataFrame)
+
+  def dictsFromCorpus(spark: SparkSession, c: SyntheticCorpus.Corpus): Dicts = {
+    import spark.implicits._
+    Dicts(
+      aliases = c.aliases,
+      patterns = c.patterns,
+      wiki = c.wikiPages.toDF(),
+      redirects = c.redirects.toDF(),
+      wd = c.wdEntities.toDF(),
+      dbp = c.dbpedia.toDF(),
+      wdPartOf = c.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap)
+  }
+
+  /** In-memory run (tests, benchmarks): no table layer, returns the live
+    * DataFrames. `useHtml=true` exercises the extract_text invariant path. */
+  def run(
+      spark: SparkSession,
+      pages: Dataset[PageRow],
+      dicts: Dicts,
+      cfg: KgConfig = KgConfig.default,
+      runId: String = "local",
+      useHtml: Boolean = true): Result = {
+    import spark.implicits._
+
+    // ---- extract stage: fused map pass (E1-E3, R1-R4, D3, D6) ----
+    val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
+      dicts.wdPartOf, cfg, useHtml)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val entities = docOut.flatMap(_.entities).toDF()
+    val edges = docOut.flatMap(_.triples).toDF()
+
+    // ---- link stage: Wikipedia → Wikidata → DBpedia dictionary joins ----
+    val pagesDf = pages.toDF().select(col("url"), col("html"))
+    val nodes = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects,
+      dicts.wd, dicts.dbp, pagesDf, cfg)
+
+    // ---- canonicalize: connected components over alias/redirect edges ----
+    val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
+    val redirectEdges = dicts.redirects.select(col("from_title").as("src"), col("to_title").as("dst"))
+    val components = ConnectedComponents.run(spark, aliasEdges.union(redirectEdges))
+
+    // ---- statistics + lineage metrics ----
+    val metrics = Statistics.compute(spark, nodes, edges, runId)
+
+    Result(nodes, edges, components, metrics)
+  }
+
+  /** Materializing run with snapshot/resume (SURVEY §7.4): each stage writes
+    * parquet + manifest; a rerun with the same runId skips completed stages. */
+  def runMaterialized(
+      spark: SparkSession,
+      pages: Dataset[PageRow],
+      dicts: Dicts,
+      tables: KgTables,
+      cfg: KgConfig = KgConfig.default,
+      runId: String = "run1"): Result = {
+    import spark.implicits._
+    val fp = s"pages=${pages.count()}" // input fingerprint
+
+    val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
+      dicts.wdPartOf, cfg)
+    val entities = tables.write(docOut.flatMap(_.entities).toDF(), "kg_entities",
+      runId, "extract_entities", fp)
+    val edgesRaw = tables.write(docOut.flatMap(_.triples).toDF(), "kg_edges",
+      runId, "extract_edges", fp, partitionBy = Seq("inferred"))
+
+    val pagesDf = pages.toDF().select(col("url"), col("html"))
+    val nodes = tables.write(
+      Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd,
+        dicts.dbp, pagesDf, cfg),
+      "kg_nodes", runId, "link", fp)
+
+    val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
+    val redirectEdges = dicts.redirects.select(col("from_title").as("src"), col("to_title").as("dst"))
+    val components = tables.write(
+      ConnectedComponents.run(spark, aliasEdges.union(redirectEdges)),
+      "kg_components", runId, "canonicalize", fp)
+
+    val metrics = tables.write(
+      Statistics.compute(spark, nodes, edgesRaw, runId)
+        .unionByName(tables.partitionLineage(edgesRaw, runId, "extract_edges")),
+      "kg_metrics", runId, "metrics", fp)
+
+    Result(nodes, edgesRaw, components, metrics)
+  }
+}

@@ -1,0 +1,277 @@
+package graft.kg
+
+import java.sql.Timestamp
+import scala.collection.mutable
+import scala.util.Random
+
+/** Deterministic synthetic web-page corpus + dictionary tables
+  * (FIXTURES.md §1-2). One seed drives everything; the generator emits the
+  * page HTML *and* the expected extracted text together from one grammar, so
+  * the `extract_text(html) == text` invariant (BASELINE.json input_hint) is
+  * checkable by construction.
+  *
+  * Content shape mirrors the reference's own e2e corpus
+  * (/root/reference/examples/minimal_extract.py:30-34 Zugspitze text):
+  * German/English prose sentences embedding gazetteer entity names with
+  * relation-pattern middles. Head-entity skew is built in via a Zipf
+  * distribution over entity popularity, so the skew-salting path is
+  * exercised at test scale (SURVEY §7.6-3).
+  */
+object SyntheticCorpus {
+
+  final case class Entity(idx: Int, name: String, typ: String, qid: String)
+
+  final case class Corpus(
+      pages: Seq[PageRow],
+      entities: Seq[Entity],
+      aliases: Seq[AliasRow],
+      patterns: Seq[PatternRow],
+      wikiPages: Seq[WikiPageRow],
+      redirects: Seq[RedirectRow],
+      wdEntities: Seq[WdEntityRow],
+      dbpedia: Seq[DbpediaRow])
+
+  private val firstNames = Vector("Anna", "Bruno", "Clara", "David", "Emil",
+    "Frieda", "Georg", "Hanna", "Ivo", "Julia", "Karl", "Lena", "Moritz",
+    "Nora", "Otto", "Paula", "Quirin", "Rosa", "Stefan", "Tilda")
+  private val lastNames = Vector("Achenbach", "Bergmann", "Clausen",
+    "Dorfmeister", "Ebersbach", "Falkner", "Grünwald", "Hartmann", "Isenberg",
+    "Jacobi", "Kellermann", "Lindner", "Mertens", "Neubauer", "Ostermann",
+    "Pfeiffer", "Quandt", "Rosenthal", "Steinbach", "Tannhäuser", "Ullrich",
+    "Vogelsang", "Wackern", "Zimmermann")
+  private val ortPrefix = Vector("Alten", "Bieber", "Franken", "Gries",
+    "Hohen", "Lang", "Mittel", "Neu", "Ober", "Unter")
+  private val ortSuffix = Vector("bach", "berg", "burg", "dorf", "feld",
+    "hausen", "heim", "stadt", "tal", "wald")
+  private val orgKind = Vector("Institut für", "Akademie für", "Gesellschaft für",
+    "Zentrum für", "Stiftung für", "Verein für")
+  private val orgField = Vector("Physik", "Chemie", "Astronomie", "Geologie",
+    "Mathematik", "Biologie", "Geschichte", "Philosophie")
+  private val werkA = Vector("Abhandlung über", "Studie zu", "Geschichte der",
+    "Theorie der", "Grundlagen der", "Analyse der", "Prinzipien der", "Kritik der")
+  private val werkB = Vector("Optik", "Mechanik", "Wärme", "Elektrizität",
+    "Sprache", "Logik", "Ethik", "Malerei")
+  private val konA = Vector("Relativitäts", "Quanten", "Evolutions", "Feld",
+    "Mengen", "Spiel", "Informations", "System", "Chaos", "Zahlen")
+  private val konB = Vector("theorie", "mechanik", "lehre", "forschung",
+    "analyse", "dynamik")
+  private val types = Vector("Person", "Ort", "Organisation", "Werk", "Konzept")
+
+  private def mkName(typ: String, j: Int): String = typ match {
+    case "Person" =>
+      val base = s"${firstNames(j % 20)} ${lastNames((j / 20) % 24)}"
+      if (j >= 480) s"$base $j" else base
+    case "Ort" =>
+      val base = s"${ortPrefix(j % 10)}${ortSuffix((j / 10) % 10)}"
+      if (j >= 100) s"$base $j" else base
+    case "Organisation" =>
+      val base = s"${orgKind(j % 6)} ${orgField((j / 6) % 8)}"
+      if (j >= 48) s"$base $j" else base
+    case "Werk" =>
+      val base = s"${werkA(j % 8)} ${werkB((j / 8) % 8)}"
+      if (j >= 64) s"$base $j" else base
+    case _ =>
+      val base = s"${konA(j % 10)}${konB((j / 10) % 6)}"
+      if (j >= 60) s"$base $j" else base
+  }
+
+  /** Relation patterns (FIXTURES.md §2): predicate = lowercase
+    * third-person-singular surface, per the reference's prompt rules
+    * (core/api/relationships.py:477,518). */
+  val patterns: Seq[PatternRow] = Seq(
+    PatternRow("entwickelte", "entwickelte", "de", 0.9),
+    PatternRow("liegt in", "liegt in", "de", 0.9),
+    PatternRow("liegt im Gebiet von", "liegt in", "de", 0.8),
+    PatternRow("arbeitet mit", "arbeitet mit", "de", 0.8),
+    PatternRow("arbeitete mit", "arbeitete mit", "de", 0.75),
+    PatternRow("gehört zu", "gehört zu", "de", 0.8),
+    PatternRow("gründete", "gründete", "de", 0.9),
+    PatternRow("erforschte", "erforschte", "de", 0.8),
+    PatternRow("besuchte", "besuchte", "de", 0.7),
+    PatternRow("developed", "developed", "en", 0.9),
+    PatternRow("is located in", "is located in", "en", 0.9),
+    PatternRow("works with", "works with", "en", 0.8),
+    PatternRow("worked with", "worked with", "en", 0.75),
+    PatternRow("founded", "founded", "en", 0.9),
+    PatternRow("studied", "studied", "en", 0.8))
+
+  private val fillersDe = Vector(
+    "Danach folgte eine lange ruhige Phase.",
+    "Viele Details blieben jedoch umstritten.",
+    "Forschung &amp; Lehre blieben eng verbunden.",
+    "Später wurde dies mehrfach überarbeitet.",
+    "Die Quellenlage gilt als schwierig.")
+  private val fillersEn = Vector(
+    "A quiet period followed afterwards.",
+    "Many details remained disputed.",
+    "Research &amp; teaching stayed closely connected.",
+    "This was revised several times later.",
+    "The sources are considered difficult.")
+
+  def typeQid(typ: String): String = typ match {
+    case "Person" => "Q5"
+    case "Ort" => "Q515"
+    case "Organisation" => "Q43229"
+    case "Werk" => "Q386724"
+    case _ => "Q151885"
+  }
+
+  def generate(nPages: Int, seed: Long = 42L, nEntities: Int = 120): Corpus = {
+    val entities = (0 until nEntities).map { i =>
+      val typ = types(i % types.size)
+      Entity(i, mkName(typ, i / types.size), typ, s"Q${1000 + i}")
+    }
+    val byName = entities.map(e => e.name -> e).toMap
+    require(byName.size == entities.size, "entity name collision in generator")
+
+    // ---- aliases (gazetteer) ----
+    val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
+    entities.foreach { e =>
+      aliasRows += AliasRow(e.name, e.name, e.qid, e.typ, 1.0, "de")
+    }
+    // last-name alias for persons whose last name is unique in the vocab
+    val persons = entities.filter(_.typ == "Person")
+    val lastOf = (p: Entity) => p.name.split(" ")(1)
+    val lastCounts = persons.groupBy(lastOf).map { case (k, v) => k -> v.size }
+    persons.foreach { p =>
+      val ln = lastOf(p)
+      if (lastCounts(ln) == 1 && !byName.contains(ln))
+        aliasRows += AliasRow(ln, p.name, p.qid, p.typ, 1.0, "de")
+    }
+    // ambiguous aliases: every 10th pair shares a surface form with skewed priors
+    entities.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      if (group.size >= 2) {
+        val a = group(0); val b = group(1)
+        aliasRows += AliasRow(s"Ambigon$g", a.name, a.qid, a.typ, 0.7, "de")
+        aliasRows += AliasRow(s"Ambigon$g", b.name, b.qid, b.typ, 0.3, "de")
+      }
+    }
+
+    // Zipf popularity over entities (head skew — SURVEY §7.6-3)
+    val weights = entities.indices.map(r => 1.0 / (r + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def zipfPick(rng: Random): Entity = {
+      val x = rng.nextDouble() * total
+      var lo = 0; var hi = cum.length - 1
+      while (lo < hi) { val mid = (lo + hi) / 2; if (cum(mid) < x) lo = mid + 1 else hi = mid }
+      entities(lo)
+    }
+    // surface form for an entity in text: canonical, or unique last name for persons
+    val lastAlias: Map[Int, String] = persons.flatMap { p =>
+      val ln = lastOf(p)
+      if (lastCounts(ln) == 1 && !byName.contains(ln)) Some(p.idx -> ln) else None
+    }.toMap
+
+    def escape(s: String): String =
+      s // filler strings already carry their entities; no raw &<> elsewhere
+
+    // ---- pages ----
+    val pages = (0 until nPages).map { pi =>
+      val rng = new Random(seed * 1000003L + pi)
+      val lang = if (rng.nextDouble() < 0.7) "de" else "en"
+      val pagePatterns = patterns.filter(_.lang == lang)
+      val fillers = if (lang == "de") fillersDe else fillersEn
+      val nSent = 4 + rng.nextInt(8)
+      val sents = (0 until nSent).map { _ =>
+        if (rng.nextDouble() < 0.6) {
+          val a = zipfPick(rng)
+          var b = zipfPick(rng)
+          var guard = 0
+          while (b.idx == a.idx && guard < 5) { b = zipfPick(rng); guard += 1 }
+          val pat = pagePatterns(rng.nextInt(pagePatterns.size))
+          // surface form: ambiguous alias (prior-disambiguation path) >
+          // unique last name > canonical
+          def surface(e: Entity): String = {
+            val r = rng.nextDouble()
+            if (e.idx % 10 == 0 && r < 0.15) s"Ambigon${e.idx / 10}"
+            else if (r < 0.35) lastAlias.getOrElse(e.idx, e.name)
+            else e.name
+          }
+          val surfA = surface(a)
+          val surfB = surface(b)
+          s"$surfA ${pat.middle} $surfB."
+        } else fillers(rng.nextInt(fillers.size))
+      }
+      // distribute into paragraphs; ~20% of pages get a 4th paragraph that
+      // extract_text must drop (first-3 rule, fallbacks.py:283)
+      val nParas = if (rng.nextDouble() < 0.2) 4 else 3
+      val paras = Array.fill(nParas)(mutable.ArrayBuffer.empty[String])
+      sents.zipWithIndex.foreach { case (s, i) => paras(i % nParas) += s }
+      val paraHtml = paras.map(p => escape(p.mkString(" ")))
+      // expected text: entity-decoded paragraph text, first 3 non-empty
+      val paraText = paraHtml.map(h => TextExtract.decodeEntities(h))
+      val expected = paraText.filter(_.nonEmpty).take(3).mkString(" ")
+      val infoboxEntity = zipfPick(rng)
+      val html =
+        s"""<html><head><title>Seite $pi</title></head><body>
+           |<div id="nav"><p>Navigation</p></div>
+           |<div id="mw-content-text"><div class="mw-parser-output">
+           |<table class="infobox"><tr><td><p>Infobox: ${infoboxEntity.name}</p></td></tr></table>
+           |${paraHtml.map(p => s"<p>$p</p>").mkString("\n<p>  </p>\n")}
+           |</div></div>
+           |<div id="footer"><p>Impressum &amp; Kontakt</p></div>
+           |</body></html>""".stripMargin
+      PageRow(
+        url = s"https://site-${pi % 50}.example/page-$pi",
+        warc_ts = new Timestamp(1704067200000L + pi * 97000L),
+        html = html.getBytes("UTF-8"),
+        text = expected,
+        lang = lang)
+    }
+
+    // ---- dictionaries ----
+    val detRng = new Random(seed * 7919L)
+    val wikiPages = entities.flatMap { e =>
+      // ~10% of entities have no wiki page at all (fallback path); of the
+      // rest, extracts shorter than minExtractLen occur (needs_fallback)
+      if (e.idx % 10 == 7) Nil
+      else {
+        val longBody = s"${e.name} ist ein bedeutendes Thema der Kategorie ${e.typ}. " * 3
+        val shortBody = s"${e.name}: kurzer Eintrag."
+        val extract = if (e.idx % 7 == 3) shortBody else longBody.trim
+        val cats = Seq(s"Kategorie:${e.typ}", s"Kategorie:Themen") ++
+          (if (e.idx % 5 == 0) Seq("Articles with short description", "Wikipedia stub") else Nil)
+        val links = entities.filter(x => x.idx != e.idx && x.idx % 17 == e.idx % 17)
+          .take(5).map(_.name)
+        Seq(
+          WikiPageRow(e.name, "de", s"https://de.wikipedia.org/wiki/${e.name.replace(' ', '_')}",
+            extract, cats, links, e.qid, Map("en" -> s"${e.name} (en)"), s"thumb-${e.idx}.jpg"),
+          WikiPageRow(s"${e.name} (en)", "en", s"https://en.wikipedia.org/wiki/${e.name.replace(' ', '_')}",
+            s"${e.name} is a notable ${e.typ}. " * 2, cats, links, e.qid,
+            Map("de" -> e.name), s"thumb-${e.idx}.jpg"))
+      }
+    }
+    val redirects = entities.collect {
+      case e if e.idx % 4 == 1 => RedirectRow(s"${e.name} (Begriffsklärung)", e.name, "de")
+    } ++ persons.flatMap { p =>
+      lastAlias.get(p.idx).map(ln => RedirectRow(ln, p.name, "de"))
+    }
+    val wdEntities = entities.map { e =>
+      val head = entities(e.idx - e.idx % 5) // group head for part_of
+      WdEntityRow(
+        qid = e.qid,
+        labels = Map("de" -> e.name, "en" -> e.name),
+        descriptions = Map("de" -> s"${e.typ} aus dem Korpus", "en" -> s"a ${e.typ}"),
+        aliases = Map("de" -> Seq(e.name.toLowerCase(java.util.Locale.ROOT))),
+        instance_of = Seq(typeQid(e.typ)),
+        subclass_of = Nil,
+        part_of = if (e.idx % 5 != 0) Seq(head.qid) else Nil,
+        has_part = if (e.idx % 5 == 0) entities.filter(x => x.idx / 5 == e.idx / 5 && x.idx != e.idx).map(_.qid) else Nil,
+        sitelinks = Map("dewiki" -> e.name, "enwiki" -> s"${e.name} (en)"))
+    }
+    val dbpedia = entities.collect {
+      // ~30% missing the en abstract → status "not_found" under the strict
+      // linked criterion (dbpedia/service.py:271-276)
+      case e if e.idx % 3 != 2 =>
+        DbpediaRow(
+          uri = TextUtils.dbpediaUri(e.name),
+          label_en = e.name,
+          abstract_en = if (e.idx % 3 == 0) s"${e.name} is a ${e.typ} in the corpus." else null,
+          types = Seq(s"dbo:${e.typ}"),
+          categories = Seq(s"dbc:${e.typ}s"))
+    }
+    val _ = detRng
+    Corpus(pages, entities, aliasRows.toSeq, patterns, wikiPages, redirects, wdEntities, dbpedia)
+  }
+}
