@@ -16,10 +16,22 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.ops.TextOps.queries ++
+      graft.ops.DedupOps.queries ++
+      graft.ops.SimilarityOps.queries ++
+      graft.ops.GraphOps.queries ++
+      graft.ops.MentionOps.queries ++
+      graft.ops.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.ops.TextOps.oracles ++
+      graft.ops.DedupOps.oracles ++
+      graft.ops.SimilarityOps.oracles ++
+      graft.ops.GraphOps.oracles ++
+      graft.ops.MentionOps.oracles ++
+      graft.ops.MultimodalOps.oracles
 }

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables.t
+
+/** Large-scale training-data deduplication operators over the `documents`
+  * and `embeddings` tables: exact (hash groupBy), n-gram Jaccard,
+  * MinHash+LSH (shingle → signature → band → bucket join), SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * All hashes are md5-based so the DuckDB oracle can reproduce them exactly
+  * (engine-portable determinism); all similarity scores are rounded before
+  * comparison so float summation order cannot flip the hash compare.
+  *
+  * Scale notes: shingling/signatures are map-only; the only shuffles are the
+  * band-bucket self-join (MinHash) and the shingle equi-join (Jaccard),
+  * both of which are the standard linear-scale LSH layouts — the quadratic
+  * brute-force variants are deliberately bounded (`doc_id < cap`) and exist
+  * as correctness baselines for the LSH paths.
+  */
+object DedupOps {
+
+  /** 3-gram word shingles as a SQL HOF expression (codegen-friendly, no UDF). */
+  private val shingleExpr =
+    """array_distinct(transform(
+         sequence(1, greatest(size(ws) - 2, 1)),
+         i -> concat(element_at(ws, i), ' ',
+                     coalesce(try_element_at(ws, i + 1), ''), ' ',
+                     coalesce(try_element_at(ws, i + 2), ''))))"""
+
+  /** Exact dedup summary per source: total vs distinct-content counts. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(md5(col("text"))).as("n_unique"))
+      .orderBy("source")
+
+  /** n-gram Jaccard near-dup pairs (correctness baseline; bounded probe). */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(shingleExpr).as("shs"))
+    val sh = d.select(col("doc_id"), explode(col("shs")).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("da", "s")
+    val b = sh.toDF("db", "s2")
+    val inter = a.join(b, col("s") === col("s2") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("da", "sa"), "da")
+      .join(sizes.toDF("db", "sb"), "db")
+      .withColumn("jaccard",
+        round(col("i") / (col("sa") + col("sb") - col("i")) + lit(1e-9), 4))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH: 8 md5 min-hashes, 4 bands × 2 rows, bucket self-join.
+    * Emits candidate pairs with the number of colliding bands — the
+    * linear-scale near-dup path (shuffle = one groupBy on (band, bucket)). */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(shingleExpr).as("shs"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 7),
+             k -> array_min(transform(shs, s -> md5(concat(cast(k as string), '|', s)))))""")
+        .as("sig"))
+    val buckets = sig
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(expr("element_at(sig, 2 * band + 1)"),
+                   expr("element_at(sig, 2 * band + 2)"))).as("bucket"))
+    val a = buckets.toDF("doc_a", "band", "bucket")
+    val b = buckets.toDF("doc_b", "band2", "bucket2")
+    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 32-bit signature; bit j is the sign of the count-weighted sum
+    * of md5-derived word bits. Near-identical docs share most bits. */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+    words
+      .select(col("doc_id"), col("c"), col("wd"),
+        explode(expr("sequence(1, 32)")).as("j"))
+      .withColumn("contrib",
+        col("c") * when(expr("substring(md5(wd), j, 1)") >= "8", 1L).otherwise(-1L))
+      .groupBy("doc_id", "j")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bit", when(col("s") > 0, "1").otherwise("0"))
+      .groupBy("doc_id")
+      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(j, bit))), x -> x.bit))")
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (bounded brute force; the scale path is
+    * [[SimilarityOps.simLshBuckets]]). Explicit dot/norm expressions keep
+    * both engines' float math element-ordered; rounded to 3 decimals. */
+  def ddEmbedCos(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+    val a = e.toDF("vec_a", "va", "na")
+    val b = e.toDF("vec_b", "vb", "nb")
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 3))
+      .filter(col("cosine") >= 0.3)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> ddExact _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_minhash_lsh"   -> ddMinhashLsh _,
+    "dd_simhash"       -> ddSimhash _,
+    "dd_embed_cos"     -> ddEmbedCos _)
+
+  private val shingleSql =
+    """list_distinct(list_transform(
+         generate_series(1, greatest(len(ws) - 2, 1)),
+         i -> ws[i] || ' ' || coalesce(ws[i + 1], '') || ' ' || coalesce(ws[i + 2], '')))"""
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+         FROM documents GROUP BY source ORDER BY source""",
+    "dd_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 1000),
+         sh AS (SELECT doc_id, unnest($shingleSql) AS s FROM d),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i) + 1e-9, 4) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE round(i * 1.0 / (sa.sz + sb.sz - i) + 1e-9, 4) >= 0.4
+         ORDER BY doc_a, doc_b""",
+    "dd_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, $shingleSql AS shs FROM d),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+                   k -> list_min(list_transform(shs, s -> md5(k::VARCHAR || '|' || s)))) AS sig FROM sh),
+         bands AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig),
+         buckets AS (SELECT doc_id, band, md5(sig[2 * band + 1] || sig[2 * band + 2]) AS bucket FROM bands)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dd_simhash" ->
+      """WITH w AS (SELECT doc_id, wd, count(*) AS c FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents) z
+           GROUP BY 1, 2),
+         j AS (SELECT unnest(generate_series(1, 32)) AS j),
+         bits AS (SELECT doc_id, j,
+             CASE WHEN sum(c * (CASE WHEN substr(md5(wd), j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+                  THEN '1' ELSE '0' END AS bit
+           FROM w, j GROUP BY doc_id, j)
+         SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "dd_embed_cos" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_reduce(list_transform(generate_series(1, 64),
+                   i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 3) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE round(list_reduce(list_transform(generate_series(1, 64),
+                 i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm), 3) >= 0.3
+         ORDER BY vec_a, vec_b""")
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Tables.t
+import graft.kg.{AhoCorasick, KgConfig, Pipeline, SyntheticCorpus}
+
+/** Gazetteer mention detection (the E1 operator) exercised over the driver
+  * `documents` table, plus the full KG pipeline as a driver-visible query.
+  * The mention scan uses the REAL broadcast Aho-Corasick machinery — the
+  * DuckDB oracle reproduces word-bounded counts with regexp_extract_all.
+  */
+object MentionOps {
+
+  /** Fixed gazetteer drawn from the documents vocabulary. */
+  val Terms: Seq[String] = Seq("customer", "filter", "join", "merge",
+    "spark", "stream", "table", "window")
+
+  /** Aho-Corasick scan → per-doc term counts (word-bounded,
+    * leftmost-longest — equals regex \b counts for this term set). */
+  def kgMentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(AhoCorasick.build(Terms))
+    val terms = Terms.toArray
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.flatMap { case (docId, text) =>
+          ac.find(text)
+            .groupBy(_._1)
+            .map { case (pid, ms) => (docId, terms(pid), ms.size.toLong) }
+        }
+      }
+      .toDF("doc_id", "term", "n")
+      .orderBy("doc_id", "term")
+  }
+
+  /** MAX_ENTITIES-style per-doc top-k on mention frequency (E3 shape). */
+  def kgMentionTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("term").asc)
+    kgMentions(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "n")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Full KG pipeline on the deterministic synthetic corpus (FIXTURES.md):
+    * driver-visible rows-only smoke of extract→link→relate (the parity
+    * gate itself runs in ScalaTest against the independent oracle). */
+  def kgPipelineTriples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = SyntheticCorpus.generate(nPages = 100, seed = 42L)
+    val pages = spark.createDataset(corpus.pages).repartition(8)
+    val res = Pipeline.run(spark, pages, Pipeline.dictsFromCorpus(spark, corpus),
+      KgConfig.default)
+    res.edges.select("url", "subject", "predicate", "object", "inferred")
+      .orderBy("url", "subject", "predicate", "object", "inferred")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_mentions"         -> kgMentions _,
+    "kg_mention_topk"     -> kgMentionTopk _,
+    "kg_pipeline_triples" -> kgPipelineTriples _)
+
+  private val termList = Terms.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "kg_mentions" ->
+      s"""SELECT doc_id, t AS term,
+         CAST(len(regexp_extract_all(text, '\\b' || t || '\\b')) AS BIGINT) AS n
+         FROM documents, (SELECT unnest($termList) AS t) z
+         WHERE len(regexp_extract_all(text, '\\b' || t || '\\b')) > 0
+         ORDER BY doc_id, term""",
+    "kg_mention_topk" ->
+      s"""WITH m AS (
+           SELECT doc_id, t AS term,
+             CAST(len(regexp_extract_all(text, '\\b' || t || '\\b')) AS BIGINT) AS n
+           FROM documents, (SELECT unnest($termList) AS t) z
+           WHERE len(regexp_extract_all(text, '\\b' || t || '\\b')) > 0),
+         r AS (SELECT doc_id, term, n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term ASC) AS rk
+           FROM m)
+         SELECT doc_id, rk, term, n FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Tables.t
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float], dim 64): brute-force cosine top-k as the correctness
+  * baseline, and an LSH (random-hyperplane / SimHash-for-vectors) bucketing
+  * as the scale path — at 10^9 vectors the bucket join replaces the
+  * quadratic cross join with a per-bucket local top-k.
+  *
+  * Hyperplanes are md5-derived so both engines (and re-runs) agree exactly;
+  * ranking uses round(cos, 4) with id tie-break so float ulp noise cannot
+  * flip the hash compare.
+  */
+object SimilarityOps {
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+
+  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos4", round(
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (col("qn") * col("nn")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4").as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** 8-bit random-hyperplane LSH bucket per vector: bit p = sign of the dot
+    * product with an md5-derived hyperplane. */
+  private val bucketExpr =
+    """concat_ws('', transform(sequence(0, 7), p ->
+         case when aggregate(
+             zip_with(v, sequence(1, 64), (x, i) ->
+               x * (cast(conv(substring(md5(concat('p', p, '_', i)), 1, 2), 16, 10) as double) - 127.5)),
+             0d, (acc, x) -> acc + x) > 0d then '1' else '0' end))"""
+
+  def simLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), expr(bucketExpr).as("bucket"))
+      .orderBy("vec_id")
+
+  /** ANN top-3 within each LSH bucket (the scale path: shuffle on bucket,
+    * local quadratic only inside buckets of ~N/256). */
+  def simAnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val a = e.select(col("bucket"), col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = e.select(col("bucket").as("bucket2"), col("vec_id").as("neighbor_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    a.join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos4", round(
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (col("qn") * col("nn")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4").as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk"        -> simTopk _,
+    "sim_lsh_buckets" -> simLshBuckets _,
+    "sim_ann_topk"    -> simAnnTopk _)
+
+  private val vecsSql =
+    """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       sqrt(list_reduce(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)), (a, b) -> a + b)) AS nrm
+       FROM embeddings"""
+
+  private val bucketSql =
+    """list_aggregate(list_transform(generate_series(0, 7), p ->
+         CASE WHEN list_reduce(list_transform(generate_series(1, 64), i ->
+             v[i] * (CAST('0x' || substr(md5('p' || p || '_' || i), 1, 2) AS INT) - 127.5)),
+             (a, b) -> a + b) > 0 THEN '1' ELSE '0' END), 'string_agg', '')"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH e AS ($vecsSql),
+         p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]),
+               (a, b) -> a + b) / (q.nrm * c.nrm), 4) AS cos4
+           FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos4,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) AS rk
+           FROM p)
+         SELECT query_id, rk, neighbor_id, cos4 AS cosine FROM r WHERE rk <= 5
+         ORDER BY query_id, rk""",
+    "sim_lsh_buckets" ->
+      s"""WITH e AS ($vecsSql)
+         SELECT vec_id, $bucketSql AS bucket FROM e ORDER BY vec_id""",
+    "sim_ann_topk" ->
+      s"""WITH e AS ($vecsSql),
+         eb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM e),
+         p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]),
+               (a, b) -> a + b) / (q.nrm * c.nrm), 4) AS cos4
+           FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos4,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) AS rk
+           FROM p)
+         SELECT query_id, rk, neighbor_id, cos4 AS cosine FROM r WHERE rk <= 3
+         ORDER BY query_id, rk""")
+}

@@ -23,8 +23,8 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-6), 2).as("revenue"),
+        round(avg("l_quantity") + lit(1e-9), 4).as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -41,7 +41,7 @@ object Relational {
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) + lit(1e-6), 2).as("revenue"),
            count(lit(1)).as("n"))
       .orderBy("r_name", "o_orderpriority")
   }
@@ -121,7 +121,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
-        round(lit(100.0) * sum(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)) / count(lit(1)), 1)
+        round(lit(100.0) * sum(when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)) / count(lit(1)) + lit(1e-9), 1)
           .as("pct_finished"))
       .orderBy("o_orderpriority")
 
@@ -150,13 +150,13 @@ object Relational {
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-         round(avg(l_quantity), 4) AS avg_qty,
+         round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue,
+         round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
          count(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q02_join_agg" ->
       """SELECT r_name, o_orderpriority,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue,
          count(*) AS n
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -201,7 +201,7 @@ object Relational {
     "q09_cond_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-         round(100.0 * sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) / count(*), 1)
+         round(100.0 * sum(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 1)
            AS pct_finished
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q10_distinct" ->
