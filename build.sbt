@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pin + pre-touch the heap: this sandbox is a Firecracker microVM where
+  // first-touch page faults are VM exits — G1 cycling through untouched
+  // regions of a large lazily-committed heap caused erratic 5-10x
+  // slowdowns (35% sys time). A fully pre-faulted moderate heap is stable.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.ops.SimilarityOps.queries ++
       graft.ops.GraphOps.queries ++
       graft.ops.MentionOps.queries ++
-      graft.ops.MultimodalOps.queries
+      graft.ops.MultimodalOps.queries ++
+      graft.ops.UrlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.ops.SimilarityOps.oracles ++
       graft.ops.GraphOps.oracles ++
       graft.ops.MentionOps.oracles ++
-      graft.ops.MultimodalOps.oracles
+      graft.ops.MultimodalOps.oracles ++
+      graft.ops.UrlOps.oracles
 }

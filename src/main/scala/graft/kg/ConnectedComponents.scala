@@ -22,13 +22,33 @@ object ConnectedComponents {
 
   /** edges: DataFrame with two columns (src, dst) of one ordered type.
     * Returns DataFrame (node, component). */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      localThreshold: Long = 1000000L): DataFrame = {
     val srcCol = edges.columns(0)
     val dstCol = edges.columns(1)
-    val input = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint()
+    // size the working partitioning to the data: the canonicalization graph
+    // (aliases/redirects) is orders of magnitude smaller than the page scan,
+    // and the loop runs ~4 shuffles per iteration — tiny inputs on the full
+    // shuffle-partition count would pay hundreds of empty-task launches
+    val nEdges = raw.count()
+    // small-graph fast path: below ~1M edges the alternating-star loop is
+    // pure scheduling latency (≈6 tiny jobs × ~5 iterations); a driver-side
+    // union-find gives the identical (node, min-id) result in one job.
+    // The distributed loop below is the 10^8-edge dictionary-scale path.
+    if (nEdges <= localThreshold) return localUnionFind(spark, raw)
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 50000L).toInt))
+    val input = raw.repartition(parts)
+    // scope the shuffle-partition count to the loop: ~4 shuffles per
+    // iteration on the (small) canonicalization graph would otherwise
+    // launch defaultParallelism empty tasks each
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     // all input nodes — singletons (self-loop-only) must survive to the output
     val allNodes = input.select(col("u").as("node"))
       .union(input.select(col("v").as("node"))).distinct().localCheckpoint()
@@ -80,5 +100,45 @@ object ConnectedComponents {
       .groupBy("node").agg(min("component").as("component"))
     allNodes.join(starred, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      .localCheckpoint() // materialize before restoring shuffle partitions
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  /** Driver-side union-find for small graphs; identical output contract
+    * (node, component = min node id in component). Works for any ordered
+    * node type the DataFrame carries (string or numeric). */
+  private def localUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val schema = edges.schema
+    val rows = edges.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    implicit val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+        case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+        case _ => a.toString.compareTo(b.toString)
+      }
+    }
+    def find(x: Any): Any = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    // representative = min node id per component
+    val reps = nodes.groupBy(find).map { case (_, ns) => ns.min -> ns }
+    val out = reps.toSeq.flatMap { case (m, ns) => ns.map(n => org.apache.spark.sql.Row(n, m)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", schema(0).dataType),
+        org.apache.spark.sql.types.StructField("component", schema(0).dataType))))
   }
 }

@@ -16,8 +16,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object KgExtract {
 
-  /** Per-document output of the fused pass. */
-  final case class DocOut(entities: Seq[EntityRow], triples: Seq[TripleRow])
+  /** Per-document output of the fused pass. `scrape` carries the first
+    * 1200 chars of the extracted text (the exchars cap,
+    * async_fetchers.py:235) so the linking stage's scrape fallback (L5)
+    * never re-parses html. */
+  final case class DocOut(url: String, scrape: String,
+      entities: Seq[EntityRow], triples: Seq[TripleRow])
 
   /** Broadcastable gazetteer: automaton + per-pattern candidate lists. */
   final case class Gazetteer(
@@ -70,7 +74,7 @@ object KgExtract {
         val text = if (useHtml) TextExtract.extractText(p.html) else p.text
         val ms = rawMentions(text, gaz)
         val (ents, trips) = DocProcess.process(p.url, text, p.lang, ms, pats, partOf, c)
-        DocOut(ents, trips)
+        DocOut(p.url, text.take(1200), ents, trips)
       }
     }
   }

@@ -70,7 +70,7 @@ object Linking {
       wiki: DataFrame,
       redirects: DataFrame,
       wdSitelinks: DataFrame, // (qid, site, title)
-      pages: DataFrame, // (url, html) for the scrape fallback (S2/L5)
+      scrapes: DataFrame, // (p_url, p_extract): pre-extracted page text (L5)
       cfg: KgConfig): DataFrame = {
 
     val minLen = cfg.minExtractLen
@@ -107,13 +107,20 @@ object Linking {
       .join(broadcast(secondary), col("sl_title") === col("w2_title"), "left")
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
-    // L5 (fallback 4): deterministic scrape of the mention page's stored
-    // html — reuses the S2 extract_text UDF, no network
-    val extractUdf = udf((html: Array[Byte]) =>
-      Option(TextExtract.extractText(html)).filter(_.nonEmpty).map(_.take(1200)))
-    val pageExtract = pages.select(col("url").as("p_url"),
-      extractUdf(col("html")).as("p_extract"))
-    val s5 = s2.join(pageExtract, col("url") === col("p_url"), "left")
+    // L5 (fallback 4): deterministic "scrape" = the page text already
+    // extracted by the S2 UDF in the extract pass (carried on DocOut so the
+    // 100 TB html column is read exactly once in the whole pipeline).
+    // Staged narrowing for real (wikipedia/service.py:1156-1259): ONLY the
+    // still-unresolved remainder joins the scrape table — resolved rows
+    // never enter the shuffle. shuffle_hash beats sort-merge here: url keys
+    // are high-cardinality and skewless, so hashing the (smaller) scrape
+    // side avoids sorting the fat entity rows.
+    val resolved2 = s2.filter(ok1 || ok2)
+      .withColumn("p_extract", lit(null).cast("string"))
+    val unresolved2 = s2.filter(!(ok1 || ok2))
+      .join(scrapes.hint("shuffle_hash"), col("url") === col("p_url"), "left")
+      .drop("p_url")
+    val s5 = resolved2.unionByName(unresolved2)
     val ok5 = col("p_extract").isNotNull && length(col("p_extract")) >= minLen
 
     s5.withColumn("wiki_extract",
@@ -151,20 +158,23 @@ object Linking {
       .join(broadcast(wdSel), col("wd_key") === col("wd_qid"), "left")
 
     // referenced-entity label enrichment (wikidata/service.py:205-235):
-    // self-join qid → de label over the referenced id arrays
-    val labels = broadcast(wd.select(col("qid").as("ref_qid"),
-      element_at(col("labels"), "de").as("ref_label")))
-    def enrich(df: DataFrame, idsCol: String, outCol: String): DataFrame = {
-      val exploded = df.select(col("entity_id").as(s"${outCol}_eid"),
-          explode_outer(col(idsCol)).as("ref_id"))
-        .join(labels, col("ref_id") === col("ref_qid"), "left")
-        .groupBy(col(s"${outCol}_eid"))
-        .agg(collect_list(struct(col("ref_id").as("id"), col("ref_label").as("label"))).as(outCol))
-      df.join(exploded, df("entity_id") === col(s"${outCol}_eid"), "left")
-        .drop(s"${outCol}_eid")
-    }
-    val e1 = enrich(withWd, "wd_instance_of_ids", "wd_instance_of")
-    val e2 = enrich(e1, "wd_part_of_ids", "wd_part_of")
+    // qid → de-label lookup over the per-row referenced-id arrays. The
+    // lookup table is DICTIONARY-sized (same side we broadcast in every
+    // other link join), so this is a map-side broadcast lookup — an
+    // explode + shuffle-join + regroup here would shuffle the full fat
+    // entity rows twice for a per-row array projection.
+    val labelMap: Map[String, String] = wd
+      .select(col("qid"), element_at(col("labels"), "de").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val bcLabels = spark.sparkContext.broadcast(labelMap)
+    val enrichUdf = udf((ids: Seq[String]) =>
+      if (ids == null) null
+      else ids.map(id => (id, bcLabels.value.get(id).orNull)))
+    val e2 = withWd
+      .withColumn("wd_instance_of",
+        enrichUdf(col("wd_instance_of_ids")).cast("array<struct<id:string,label:string>>"))
+      .withColumn("wd_part_of",
+        enrichUdf(col("wd_part_of_ids")).cast("array<struct<id:string,label:string>>"))
     e2.withColumn("wd_status",
         when(col("wd_qid").isNotNull, lit("found")).otherwise(lit("not_found")))
       .drop("wd_key")
@@ -198,10 +208,10 @@ object Linking {
       redirects: DataFrame,
       wd: DataFrame,
       dbp: DataFrame,
-      pages: DataFrame,
+      scrapes: DataFrame,
       cfg: KgConfig): DataFrame = {
     val sitelinks = wd.select(col("qid"), explode(col("sitelinks")).as(Seq("site", "title")))
-    val w = wikipedia(spark, entities, wiki, redirects, sitelinks, pages, cfg)
+    val w = wikipedia(spark, entities, wiki, redirects, sitelinks, scrapes, cfg)
     val d = wikidata(spark, w, wd)
     val b = dbpedia(spark, d, dbp)
     b.select(

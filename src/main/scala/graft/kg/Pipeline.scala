@@ -54,9 +54,15 @@ object Pipeline {
     val edges = docOut.flatMap(_.triples).toDF()
 
     // ---- link stage: Wikipedia → Wikidata → DBpedia dictionary joins ----
-    val pagesDf = pages.toDF().select(col("url"), col("html"))
+    // nodes are persisted: statistics runs several aggregates over them and
+    // must not re-execute the join chain per aggregate (at scale this stage
+    // is written to a table first — runMaterialized — which serves the same
+    // purpose)
+    val scrapes = docOut.toDF().select(col("url").as("p_url"),
+      when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
     val nodes = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects,
-      dicts.wd, dicts.dbp, pagesDf, cfg)
+      dicts.wd, dicts.dbp, scrapes, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- canonicalize: connected components over alias/redirect edges ----
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
@@ -87,11 +93,14 @@ object Pipeline {
       runId, "extract_entities", fp)
     val edgesRaw = tables.write(docOut.flatMap(_.triples).toDF(), "kg_edges",
       runId, "extract_edges", fp, partitionBy = Seq("inferred"))
+    val scrapes = tables.write(
+      docOut.toDF().select(col("url").as("p_url"),
+        when(length(col("scrape")) > 0, col("scrape")).as("p_extract")),
+      "kg_scrapes", runId, "extract_scrapes", fp)
 
-    val pagesDf = pages.toDF().select(col("url"), col("html"))
     val nodes = tables.write(
       Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd,
-        dicts.dbp, pagesDf, cfg),
+        dicts.dbp, scrapes, cfg),
       "kg_nodes", runId, "link", fp)
 
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")

@@ -1,0 +1,58 @@
+package graft.kg
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch scaling probe: repeated whole-pipeline runs at one parallelism.
+  * Usage: runMain graft.kg.ScaleProbe <cpus> <nPages> <reps> */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val (cpus, nPages, reps) = (args(0).toInt, args(1).toInt, args(2).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val factory = new SyntheticCorpus.PageFactory(42L, 120)
+    val dicts = Pipeline.dictsFromCorpus(spark, SyntheticCorpus.generate(0))
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[scale]   $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      a
+    }
+    (0 until reps).foreach { r =>
+      val pages = spark.range(nPages)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .mapPartitions(it => it.map(i => factory.page(i.toInt)))
+      val t0 = System.nanoTime()
+      println(s"[scale] rep=$r")
+      val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns, dicts.wdPartOf, KgConfig.default)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("extract")(docOut.count())
+      val entities = docOut.flatMap(_.entities).toDF()
+      val edgesDf = docOut.flatMap(_.triples).toDF()
+      val e = t("edges")(edgesDf.count())
+      val scrapes = docOut.toDF().select(org.apache.spark.sql.functions.col("url").as("p_url"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.length($"scrape") > 0, $"scrape").as("p_extract"))
+      val nodes = t("link") {
+        val n = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp, scrapes, KgConfig.default)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        n.count(); n
+      }
+      t("cc") {
+        val ae = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
+        val re = dicts.redirects.select($"from_title".as("src"), $"to_title".as("dst"))
+        ConnectedComponents.run(spark, ae.union(re)).count()
+      }
+      t("stats")(Statistics.compute(spark, nodes, edgesDf, "probe").count())
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] cpus=$cpus pages=$nPages rep=$r: $secs%.2fs (${nPages / secs}%.0f pages/s, ${e / secs}%.0f triples/s)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+}

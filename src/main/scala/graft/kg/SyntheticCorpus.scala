@@ -116,58 +116,39 @@ object SyntheticCorpus {
     case _ => "Q151885"
   }
 
-  def generate(nPages: Int, seed: Long = 42L, nEntities: Int = 120): Corpus = {
-    val entities = (0 until nEntities).map { i =>
+  /** Serializable per-page generator: rebuilds the deterministic vocabulary
+    * lazily on each executor, so the bench can synthesize pages DISTRIBUTED
+    * (spark.range(n).mapPartitions) instead of materializing the corpus on
+    * the driver — the sandbox stand-in for a distributed storage scan. */
+  final class PageFactory(seed: Long, nEntities: Int) extends Serializable {
+    @transient lazy val entities: IndexedSeq[Entity] = (0 until nEntities).map { i =>
       val typ = types(i % types.size)
       Entity(i, mkName(typ, i / types.size), typ, s"Q${1000 + i}")
     }
-    val byName = entities.map(e => e.name -> e).toMap
-    require(byName.size == entities.size, "entity name collision in generator")
-
-    // ---- aliases (gazetteer) ----
-    val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
-    entities.foreach { e =>
-      aliasRows += AliasRow(e.name, e.name, e.qid, e.typ, 1.0, "de")
+    @transient lazy val byName: Map[String, Entity] = {
+      val m = entities.map(e => e.name -> e).toMap
+      require(m.size == entities.size, "entity name collision in generator")
+      m
     }
-    // last-name alias for persons whose last name is unique in the vocab
-    val persons = entities.filter(_.typ == "Person")
-    val lastOf = (p: Entity) => p.name.split(" ")(1)
-    val lastCounts = persons.groupBy(lastOf).map { case (k, v) => k -> v.size }
-    persons.foreach { p =>
+    @transient lazy val persons: IndexedSeq[Entity] = entities.filter(_.typ == "Person")
+    val lastOf: Entity => String = (p: Entity) => p.name.split(" ")(1)
+    @transient lazy val lastCounts: Map[String, Int] =
+      persons.groupBy(lastOf).map { case (k, v) => k -> v.size }
+    @transient lazy val lastAlias: Map[Int, String] = persons.flatMap { p =>
       val ln = lastOf(p)
-      if (lastCounts(ln) == 1 && !byName.contains(ln))
-        aliasRows += AliasRow(ln, p.name, p.qid, p.typ, 1.0, "de")
-    }
-    // ambiguous aliases: every 10th pair shares a surface form with skewed priors
-    entities.grouped(10).zipWithIndex.foreach { case (group, g) =>
-      if (group.size >= 2) {
-        val a = group(0); val b = group(1)
-        aliasRows += AliasRow(s"Ambigon$g", a.name, a.qid, a.typ, 0.7, "de")
-        aliasRows += AliasRow(s"Ambigon$g", b.name, b.qid, b.typ, 0.3, "de")
-      }
-    }
-
-    // Zipf popularity over entities (head skew — SURVEY §7.6-3)
-    val weights = entities.indices.map(r => 1.0 / (r + 1))
-    val cum = weights.scanLeft(0.0)(_ + _).tail
-    val total = cum.last
+      if (lastCounts(ln) == 1 && !byName.contains(ln)) Some(p.idx -> ln) else None
+    }.toMap
+    // Zipf popularity table over entities (head skew — SURVEY §7.6-3)
+    @transient private lazy val cum: IndexedSeq[Double] =
+      entities.indices.map(r => 1.0 / (r + 1)).scanLeft(0.0)(_ + _).tail
     def zipfPick(rng: Random): Entity = {
-      val x = rng.nextDouble() * total
+      val x = rng.nextDouble() * cum.last
       var lo = 0; var hi = cum.length - 1
       while (lo < hi) { val mid = (lo + hi) / 2; if (cum(mid) < x) lo = mid + 1 else hi = mid }
       entities(lo)
     }
-    // surface form for an entity in text: canonical, or unique last name for persons
-    val lastAlias: Map[Int, String] = persons.flatMap { p =>
-      val ln = lastOf(p)
-      if (lastCounts(ln) == 1 && !byName.contains(ln)) Some(p.idx -> ln) else None
-    }.toMap
 
-    def escape(s: String): String =
-      s // filler strings already carry their entities; no raw &<> elsewhere
-
-    // ---- pages ----
-    val pages = (0 until nPages).map { pi =>
+    def page(pi: Int): PageRow = {
       val rng = new Random(seed * 1000003L + pi)
       val lang = if (rng.nextDouble() < 0.7) "de" else "en"
       val pagePatterns = patterns.filter(_.lang == lang)
@@ -198,7 +179,7 @@ object SyntheticCorpus {
       val nParas = if (rng.nextDouble() < 0.2) 4 else 3
       val paras = Array.fill(nParas)(mutable.ArrayBuffer.empty[String])
       sents.zipWithIndex.foreach { case (s, i) => paras(i % nParas) += s }
-      val paraHtml = paras.map(p => escape(p.mkString(" ")))
+      val paraHtml = paras.map(p => p.mkString(" "))
       // expected text: entity-decoded paragraph text, first 3 non-empty
       val paraText = paraHtml.map(h => TextExtract.decodeEntities(h))
       val expected = paraText.filter(_.nonEmpty).take(3).mkString(" ")
@@ -219,6 +200,34 @@ object SyntheticCorpus {
         text = expected,
         lang = lang)
     }
+  }
+
+  def generate(nPages: Int, seed: Long = 42L, nEntities: Int = 120): Corpus = {
+    val factory = new PageFactory(seed, nEntities)
+    val entities = factory.entities
+    val persons = factory.persons
+    val lastAlias = factory.lastAlias
+
+    // ---- aliases (gazetteer) ----
+    val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
+    entities.foreach { e =>
+      aliasRows += AliasRow(e.name, e.name, e.qid, e.typ, 1.0, "de")
+    }
+    // last-name alias for persons whose last name is unique in the vocab
+    lastAlias.foreach { case (idx, ln) =>
+      val p = entities(idx)
+      aliasRows += AliasRow(ln, p.name, p.qid, p.typ, 1.0, "de")
+    }
+    // ambiguous aliases: every 10th pair shares a surface form with skewed priors
+    entities.grouped(10).zipWithIndex.foreach { case (group, g) =>
+      if (group.size >= 2) {
+        val a = group(0); val b = group(1)
+        aliasRows += AliasRow(s"Ambigon$g", a.name, a.qid, a.typ, 0.7, "de")
+        aliasRows += AliasRow(s"Ambigon$g", b.name, b.qid, b.typ, 0.3, "de")
+      }
+    }
+
+    val pages = (0 until nPages).map(factory.page)
 
     // ---- dictionaries ----
     val detRng = new Random(seed * 7919L)

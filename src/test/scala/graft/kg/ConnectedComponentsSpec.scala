@@ -24,27 +24,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
   }
 
-  test("large-star/small-star CC matches union-find on random graphs") {
+  test("large-star/small-star CC matches union-find on random graphs (distributed path)") {
     val rng = new Random(42)
     (0 until 5).foreach { trial =>
       val n = 30 + rng.nextInt(50)
       val edges = (0 until n).map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
-      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      val got = ConnectedComponents.run(spark, edges.toDF("src", "dst"), localThreshold = 0L)
         .as[(Long, Long)].collect().toMap
       val want = unionFind(edges)
       assert(got == want, s"trial $trial")
     }
   }
 
-  test("CC over string node ids (entity names): min-lexicographic representative") {
-    val edges = Seq(("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")).toDF("src", "dst")
-    val got = ConnectedComponents.run(spark, edges).as[(String, String)].collect().toMap
-    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x", "z" -> "z"))
+  test("small-graph fast path (driver union-find) matches the distributed path") {
+    val rng = new Random(7)
+    (0 until 5).foreach { trial =>
+      val edges = (0 until 60).map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      val dist = ConnectedComponents.run(spark, edges.toDF("src", "dst"), localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      val local = ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(dist == local, s"trial $trial")
+      assert(local == unionFind(edges), s"trial $trial vs union-find")
+    }
   }
 
-  test("chain graph converges (worst case for min propagation)") {
+  test("CC over string node ids (entity names): min-lexicographic representative, both paths") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("x", "y"), ("z", "z")).toDF("src", "dst")
+    val want = Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x", "z" -> "z")
+    assert(ConnectedComponents.run(spark, edges).as[(String, String)].collect().toMap == want)
+    assert(ConnectedComponents.run(spark, edges, localThreshold = 0L)
+      .as[(String, String)].collect().toMap == want)
+  }
+
+  test("chain graph converges (worst case for min propagation, distributed path)") {
     val chain = (0L until 63L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"))
+    val got = ConnectedComponents.run(spark, chain.toDF("src", "dst"), localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(0L))
     assert(got.keySet == (0L to 63L).toSet)
