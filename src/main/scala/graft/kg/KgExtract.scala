@@ -39,11 +39,38 @@ object KgExtract {
     Gazetteer(AhoCorasick.build(surfaces), cands)
   }
 
-  def rawMentions(text: String, gaz: Gazetteer): Seq[DocProcess.RawMention] =
-    gaz.automaton.find(text).map { case (pid, s, e) =>
-      val (canonical, qid, typ, prior) = gaz.candidates(pid).head // argmax prior, canonical asc
+  /** L14 candidate scoring: anchor prior + pairwise document coherence.
+    * Coherence groups come from the Wikidata part_of hierarchy: a candidate
+    * whose group (its part_of head, else itself) is shared with any
+    * UNAMBIGUOUS mention in the same document gets a +0.2 boost — the
+    * deterministic re-rank standing in for the reference's "first/best
+    * search hit" (wikidata/service.py:329-331; context TF-IDF cosine is the
+    * planned round-2 refinement). Tie-break: canonical asc.
+    */
+  val CoherenceBoost = 0.2
+
+  def rawMentions(text: String, gaz: Gazetteer,
+      partOf: Map[String, Set[String]]): Seq[DocProcess.RawMention] = {
+    val found = gaz.automaton.find(text)
+    def group(qid: String): String =
+      partOf.getOrElse(qid, Set.empty).headOption.getOrElse(qid)
+    // context = groups of unambiguous mentions
+    val contextGroups: Set[String] = found.iterator
+      .map { case (pid, _, _) => gaz.candidates(pid) }
+      .collect { case single :: Nil => group(single._2) }
+      .toSet
+    found.map { case (pid, s, e) =>
+      val cands = gaz.candidates(pid)
+      val (canonical, qid, typ, prior) = cands match {
+        case single :: Nil => single
+        case many => many.map { c =>
+          val score = c._4 + (if (contextGroups.contains(group(c._2))) CoherenceBoost else 0.0)
+          (c, score)
+        }.minBy { case (c, score) => (-score, c._1) }._1
+      }
       DocProcess.RawMention(text.substring(s, e), canonical, qid, typ, s, e, prior)
     }
+  }
 
   /** The fused extract pass. `useHtml` exercises the byte-stable
     * extract_text path (input_hint invariant); with `useHtml=false` the
@@ -72,7 +99,7 @@ object KgExtract {
       val c = bcCfg.value
       it.map { p =>
         val text = if (useHtml) TextExtract.extractText(p.html) else p.text
-        val ms = rawMentions(text, gaz)
+        val ms = rawMentions(text, gaz, partOf)
         val (ents, trips) = DocProcess.process(p.url, text, p.lang, ms, pats, partOf, c)
         DocOut(p.url, text.take(1200), ents, trips)
       }

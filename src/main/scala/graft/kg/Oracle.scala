@@ -18,8 +18,11 @@ object Oracle {
   private def isWord(c: Char) = Character.isLetterOrDigit(c)
 
   /** Naive multi-pattern scan: all alias occurrences via indexOf, word
-    * boundaries, then leftmost-longest non-overlapping selection. */
-  def scan(text: String, aliases: Seq[AliasRow]): Vector[OMention] = {
+    * boundaries, leftmost-longest non-overlapping selection, then L14
+    * scoring (anchor prior + part_of-group coherence with unambiguous
+    * document mentions; boost 0.2, tie-break canonical asc). */
+  def scan(text: String, aliases: Seq[AliasRow],
+      partOf: Map[String, Set[String]] = Map.empty): Vector[OMention] = {
     val byAlias = aliases.groupBy(_.alias)
     val all = mutable.ArrayBuffer.empty[(Int, Int, String)] // (start, end, alias)
     byAlias.keys.foreach { a =>
@@ -39,9 +42,22 @@ object Oracle {
     all.sortBy { case (s, e, _) => (s, -(e - s)) }.foreach { m =>
       if (m._1 >= lastEnd) { picked += m; lastEnd = m._2 }
     }
+    def grp(qid: String): String =
+      partOf.getOrElse(qid, Set.empty).headOption.getOrElse(qid)
+    val context: Set[String] = picked.flatMap { case (_, _, a) =>
+      byAlias(a) match {
+        case Seq(only) => Some(grp(only.qid))
+        case _ => None
+      }
+    }.toSet
     picked.map { case (s, e, a) =>
       val cands = byAlias(a)
-      val best = cands.sortBy(c => (-c.prior, c.canonical)).head
+      val best =
+        if (cands.size == 1) cands.head
+        else cands.sortBy { c =>
+          val score = c.prior + (if (context.contains(grp(c.qid))) 0.2 else 0.0)
+          (-score, c.canonical)
+        }.head
       OMention(a, best.canonical, best.qid, best.entity_type, s, e, best.prior)
     }.toVector
   }
@@ -57,7 +73,8 @@ object Oracle {
       cfg: KgConfig): (Vector[(String, String)], Vector[OTriple]) = {
 
     val text = page.text
-    val ms = scan(text, aliases)
+    val partOfAll = wd.map(w => w.qid -> w.part_of.toSet).toMap
+    val ms = scan(text, aliases, partOfAll)
 
     // dedup by lowercase name, first wins; count frequency
     val order = mutable.ArrayBuffer.empty[String]
@@ -111,7 +128,7 @@ object Oracle {
     val explicitCapped = trips.take(cfg.maxRelations).toVector
 
     // implicit part_of relations
-    val partOfMap = wd.map(w => w.qid -> w.part_of.toSet).toMap
+    val partOfMap = partOfAll
     val relKeys = mutable.HashSet.empty[(Set[String], String)]
     explicitCapped.foreach(t => relKeys += ((Set(t.subject, t.obj), t.predicate)))
     val pred = if (page.lang == "en") "is part of" else "ist teil von"

@@ -165,7 +165,7 @@ object SyntheticCorpus {
           // unique last name > canonical
           def surface(e: Entity): String = {
             val r = rng.nextDouble()
-            if (e.idx % 10 == 0 && r < 0.15) s"Ambigon${e.idx / 10}"
+            if ((e.idx % 10 == 0 || e.idx % 10 == 5) && r < 0.15) s"Ambigon${e.idx / 10}"
             else if (r < 0.35) lastAlias.getOrElse(e.idx, e.name)
             else e.name
           }
@@ -218,12 +218,15 @@ object SyntheticCorpus {
       val p = entities(idx)
       aliasRows += AliasRow(ln, p.name, p.qid, p.typ, 1.0, "de")
     }
-    // ambiguous aliases: every 10th pair shares a surface form with skewed priors
+    // ambiguous aliases: every 10th pair shares a surface form. The two
+    // candidates come from DIFFERENT part_of groups (idx 10g vs 10g+5, both
+    // group heads) with close priors, so the L14 coherence re-rank — not
+    // the anchor prior alone — decides when context supports the underdog.
     entities.grouped(10).zipWithIndex.foreach { case (group, g) =>
-      if (group.size >= 2) {
-        val a = group(0); val b = group(1)
-        aliasRows += AliasRow(s"Ambigon$g", a.name, a.qid, a.typ, 0.7, "de")
-        aliasRows += AliasRow(s"Ambigon$g", b.name, b.qid, b.typ, 0.3, "de")
+      if (group.size >= 6) {
+        val a = group(0); val b = group(5)
+        aliasRows += AliasRow(s"Ambigon$g", a.name, a.qid, a.typ, 0.55, "de")
+        aliasRows += AliasRow(s"Ambigon$g", b.name, b.qid, b.typ, 0.45, "de")
       }
     }
 

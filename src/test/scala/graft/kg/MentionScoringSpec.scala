@@ -1,0 +1,56 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** L14 candidate scoring: anchor prior + document coherence must flip an
+  * ambiguous alias to the lower-prior candidate when the document context
+  * supports it — and agree with the oracle's independent implementation. */
+class MentionScoringSpec extends AnyFunSuite {
+
+  private val corpus = SyntheticCorpus.generate(nPages = 0, seed = 42L)
+  private val gaz = KgExtract.buildGazetteer(corpus.aliases)
+  private val partOf = corpus.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap
+  private val ents = corpus.entities
+
+  test("prior wins without context; coherence flips with context") {
+    val a = ents(0) // group head {0..4}, Ambigon0 prior 0.55
+    val b = ents(5) // group head {5..9}, Ambigon0 prior 0.45
+    val mate = ents(6) // member of b's group (part_of -> ents(5))
+
+    // no context: prior argmax → a
+    val noCtx = KgExtract.rawMentions("Ambigon0 bleibt unklar.", gaz, partOf)
+    assert(noCtx.exists(m => m.surface == "Ambigon0" && m.canonical == a.name))
+
+    // group-mate of b in the same doc: coherence 0.45+0.2 > 0.55 → b
+    val withCtx = KgExtract.rawMentions(
+      s"${mate.name} arbeitet mit Ambigon0.", gaz, partOf)
+    val amb = withCtx.find(_.surface == "Ambigon0").get
+    assert(amb.canonical == b.name,
+      s"expected coherence flip to ${b.name}, got ${amb.canonical}")
+  }
+
+  test("oracle scan agrees with the pipeline scan on both cases") {
+    val mate = ents(6)
+    Seq("Ambigon0 bleibt unklar.", s"${mate.name} arbeitet mit Ambigon0.")
+      .foreach { text =>
+        val pipe = KgExtract.rawMentions(text, gaz, partOf)
+          .map(m => (m.surface, m.canonical, m.start, m.end)).toSet
+        val orc = Oracle.scan(text, corpus.aliases, partOf)
+          .map(m => (m.surface, m.canonical, m.start, m.end)).toSet
+        assert(pipe == orc, s"disagreement on: $text")
+      }
+  }
+
+  test("coherence path fires in the generated corpus (non-degenerate)") {
+    val c = SyntheticCorpus.generate(nPages = 300, seed = 42L)
+    val ambigTexts = c.pages.filter(_.text.contains("Ambigon"))
+    assert(ambigTexts.nonEmpty, "corpus generates ambiguous surfaces")
+    // at least one ambiguous mention resolves to the LOWER-prior candidate
+    val lowPriorWins = ambigTexts.exists { p =>
+      KgExtract.rawMentions(p.text, gaz, partOf).exists { m =>
+        m.surface.startsWith("Ambigon") && m.prior == 0.45
+      }
+    }
+    assert(lowPriorWins, "coherence never flipped — scoring path untested")
+  }
+}
