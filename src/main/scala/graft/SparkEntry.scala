@@ -23,7 +23,8 @@ object SparkEntry {
       graft.ops.GraphOps.queries ++
       graft.ops.MentionOps.queries ++
       graft.ops.MultimodalOps.queries ++
-      graft.ops.UrlOps.queries
+      graft.ops.UrlOps.queries ++
+      graft.ops.CategoryOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.ops.GraphOps.oracles ++
       graft.ops.MentionOps.oracles ++
       graft.ops.MultimodalOps.oracles ++
-      graft.ops.UrlOps.oracles
+      graft.ops.UrlOps.oracles ++
+      graft.ops.CategoryOps.oracles
 }

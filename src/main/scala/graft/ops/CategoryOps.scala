@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables.t
+import graft.kg.Linking
+
+/** Category-pipeline scalars from the reference (SURVEY §2.2):
+  * P8 namespace-prefix strip + P9 maintenance-category blacklist
+  * (utils/category_utils.py:3-165) and P11 label-from-URI extraction
+  * (context_statistics_top10.py:~230-250), exercised over synthesized
+  * category arrays from the driver tables.
+  */
+object CategoryOps {
+
+  /** P8+P9 via the REAL Linking.cleanCategories column expression. */
+  def kgCleanCategories(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        array(
+          concat(lit("Kategorie:"), col("p_type")),
+          lit("Articles with short description"),
+          concat(lit("Category:"), col("p_brand")),
+          lit("Wikipedia stub"),
+          col("p_name"),
+          lit("Cleanup needed")).as("categories"))
+      .select(col("p_partkey"),
+        concat_ws("|", Linking.cleanCategories(col("categories"))).as("kept"))
+      .orderBy("p_partkey")
+
+  /** P11: URI tail → label (strip resource prefix + Category:, '_'→' '). */
+  def kgLabelFromUri(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        concat(lit("http://dbpedia.org/resource/Category:"),
+          regexp_replace(col("p_name"), " ", "_")).as("uri"))
+      .withColumn("label",
+        regexp_replace(
+          regexp_replace(
+            regexp_extract(col("uri"), "([^/]+)$", 1), "^Category:", ""),
+          "_", " "))
+      .select("p_partkey", "uri", "label")
+      .orderBy("p_partkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_clean_categories" -> kgCleanCategories _,
+    "kg_label_from_uri"   -> kgLabelFromUri _)
+
+  private val kw = Linking.MaintenanceKeywords
+    .map(k => s"'$k'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    // mirror: strip namespace prefix, drop categories starting with any
+    // maintenance keyword, join survivors with '|'
+    "kg_clean_categories" ->
+      s"""WITH c AS (
+           SELECT p_partkey,
+             ['Kategorie:' || p_type,
+              'Articles with short description',
+              'Category:' || p_brand,
+              'Wikipedia stub',
+              p_name,
+              'Cleanup needed'] AS categories
+           FROM part),
+         s AS (SELECT p_partkey,
+             list_transform(categories,
+               x -> regexp_replace(x, '^(Category:|Kategorie:|Catégorie:)', '')) AS stripped
+           FROM c)
+         SELECT p_partkey,
+           list_aggregate(
+             list_filter(stripped,
+               x -> len(list_filter($kw, k -> starts_with(x, k))) = 0),
+             'string_agg', '|') AS kept
+         FROM s ORDER BY p_partkey""",
+    "kg_label_from_uri" ->
+      """SELECT p_partkey,
+         'http://dbpedia.org/resource/Category:' || replace(p_name, ' ', '_') AS uri,
+         replace(regexp_replace(regexp_extract(
+           'http://dbpedia.org/resource/Category:' || replace(p_name, ' ', '_'),
+           '([^/]+)$', 1), '^Category:', ''), '_', ' ') AS label
+         FROM part ORDER BY p_partkey""")
+}
