@@ -46,7 +46,10 @@ final class AhoCorasick private (
     res.toSeq
   }
 
-  @inline private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
+  // regex \b parity: '_' counts as a word character (the DuckDB oracle for
+  // kg_mentions uses \b, so boundary semantics must agree exactly)
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
 
   /** Word-boundary-checked, leftmost-longest, non-overlapping matches. */
   def find(text: String): Seq[(Int, Int, Int)] = {

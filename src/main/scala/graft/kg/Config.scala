@@ -18,7 +18,11 @@ final case class KgConfig(
     mode: String = "extract",           // settings.py MODE (extract|generate)
     relationExtraction: Boolean = true, // settings.py RELATION_EXTRACTION
     enableEntityInference: Boolean = true, // implicit relations stage (R2)
-    nSalt: Int = 8                      // skew salting factor for the mention join
+    nSalt: Int = 8,                     // skew salting factor for dictionary joins
+    // dictJoin gate: dictionaries estimated under this take the broadcast
+    // path; larger ones take the salted shuffle-hash path (Linking.dictJoin)
+    dictBroadcastMaxBytes: Long = 64L << 20,
+    forceSaltedJoins: Boolean = false   // tests: pin the shuffle path at small scale
 )
 
 object KgConfig {

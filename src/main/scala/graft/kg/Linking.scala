@@ -2,6 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Entity linking as dictionary joins + staged left-anti fallback narrowing
   * (SURVEY §2.4 L1-L13): the deterministic Spark re-expression of the
@@ -14,11 +15,13 @@ import org.apache.spark.sql.functions._
   * unions rather than repeated anti-joins, so one pass over the entity set
   * resolves all stages.
   *
-  * Scale notes: dictionary sides are `broadcast()` at test scale; at 100 TB
-  * the wiki/wd dictionaries (10^8 rows) exceed broadcast, so the join key is
-  * salted: mentions of head entities (country/person hubs) are split over
-  * `cfg.nSalt` buckets with a replicated dictionary side (`saltedJoin`),
-  * on top of AQE skew-join splitting (SURVEY §4.2).
+  * Scale design: every dictionary join goes through `dictJoin`, which is
+  * SIZE-GATED — dictionaries whose optimizer-estimated size fits under
+  * `cfg.dictBroadcastMaxBytes` are broadcast; larger ones take the salted
+  * shuffle-hash path (`saltedJoin`), spreading head-entity hot keys
+  * (country/person hubs) over `cfg.nSalt` buckets on top of AQE skew-join
+  * splitting (SURVEY §4.2). `cfg.forceSaltedJoins` pins the shuffle path so
+  * tests exercise it at small scale (PipelineParitySpec).
   */
 object Linking {
 
@@ -42,21 +45,58 @@ object Linking {
       !MaintenanceKeywords.map(k => c.startsWith(lit(k))).reduce(_ || _))
   }
 
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case a: ArrayType => containsMap(a.elementType)
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
+  /** Default probe-salt source: hash of all hashable (non-map) probe
+    * columns — row-unique in practice, so hot-key rows spread evenly. A
+    * caller with a known row-id column should pass it explicitly (cheaper
+    * than hashing fat rows). */
+  private def defaultSaltSource(probe: DataFrame): Column = {
+    val cols = probe.schema.fields
+      .filter(f => !containsMap(f.dataType)).map(f => probe(f.name))
+    xxhash64(cols.toIndexedSeq: _*)
+  }
+
   /** Salted equi-join for skewed build-side keys: explodes the dictionary
     * side `nSalt` ways and routes probe rows by a hash bucket, so one hot
     * key (e.g. "Deutschland" at web scale) spreads over nSalt reducers.
+    * The probe salt derives from `saltSource` (a row-unique expression —
+    * NOT the join key, which would put every hot-key row in one bucket).
     * With nSalt=1 this degenerates to a plain equi-join; output is
     * invariant in nSalt (property-tested). */
   def saltedJoin(
       probe: DataFrame, dict: DataFrame, probeKey: Column, dictKey: Column,
-      nSalt: Int, joinType: String = "left"): DataFrame = {
+      nSalt: Int, joinType: String = "left",
+      saltSource: Option[Column] = None): DataFrame = {
+    val src = saltSource.getOrElse(defaultSaltSource(probe))
     val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(col(probe.columns.head)), lit(nSalt)).cast("int"))
+      pmod(xxhash64(src), lit(nSalt)).cast("int"))
+    // shuffle_hash: dictionary rows are the smaller side per salt bucket;
+    // hashing them avoids sort-merge's sort of the fat probe rows
     val saltedDict = dict.withColumn("__salt",
-      explode(sequence(lit(0), lit(nSalt - 1))))
+      explode(sequence(lit(0), lit(nSalt - 1)))).hint("shuffle_hash")
     saltedProbe.join(saltedDict,
       probeKey === dictKey && saltedProbe("__salt") === saltedDict("__salt"),
       joinType).drop("__salt")
+  }
+
+  /** Size-gated dictionary join (the production join for every L-stage):
+    * broadcast when the dictionary's optimizer-estimated size fits under
+    * `cfg.dictBroadcastMaxBytes`; salted shuffle-hash otherwise. At 100 TB
+    * the wiki/wd dictionaries (10^8 rows) always take the salted path; the
+    * pattern/redirect tables stay broadcast. */
+  def dictJoin(
+      probe: DataFrame, dict: DataFrame, probeKey: Column, dictKey: Column,
+      cfg: KgConfig, saltSource: Column, joinType: String = "left"): DataFrame = {
+    val small = !cfg.forceSaltedJoins &&
+      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= cfg.dictBroadcastMaxBytes
+    if (small) probe.join(broadcast(dict), probeKey === dictKey, joinType)
+    else saltedJoin(probe, dict, probeKey, dictKey, cfg.nSalt, joinType, Some(saltSource))
   }
 
   /** L1-L6: Wikipedia linking with staged fallbacks. Input: entity rows
@@ -85,14 +125,14 @@ object Linking {
 
     // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true),
     // then primary-language dictionary join
-    val redir = broadcast(redirects.filter(col("lang") === cfg.language)
-      .select(col("from_title"), col("to_title")))
-    val withTitle = entities
-      .join(redir, entities("entity") === redir("from_title"), "left")
+    val redir = redirects.filter(col("lang") === cfg.language)
+      .select(col("from_title"), col("to_title"))
+    val withTitle = dictJoin(entities, redir,
+        entities("entity"), col("from_title"), cfg, entities("url"))
       .withColumn("w_lookup", coalesce(col("to_title"), col("entity")))
       .drop("from_title", "to_title")
-    val s1 = withTitle.join(broadcast(primary),
-      col("w_lookup") === col("w_title"), "left")
+    val s1 = dictJoin(withTitle, primary,
+      col("w_lookup"), col("w_title"), cfg, col("url"))
 
     // resolved = extract present and long enough (P14 needs_fallback gate,
     // wikipedia/service.py:998-1004)
@@ -100,11 +140,11 @@ object Linking {
 
     // L2 (fallback 1): other-language wiki via Wikidata sitelinks (L8/L9
     // mechanism); only consulted where stage 1 is unresolved
-    val links2 = broadcast(wdSitelinks
+    val links2 = wdSitelinks
       .filter(col("site") === s"${secondaryLang}wiki")
-      .select(col("qid").as("sl_qid"), col("title").as("sl_title")))
-    val s2 = s1.join(links2, s1("qid") === col("sl_qid"), "left")
-      .join(broadcast(secondary), col("sl_title") === col("w2_title"), "left")
+      .select(col("qid").as("sl_qid"), col("title").as("sl_title"))
+    val s2a = dictJoin(s1, links2, s1("qid"), col("sl_qid"), cfg, s1("url"))
+    val s2 = dictJoin(s2a, secondary, col("sl_title"), col("w2_title"), cfg, s2a("url"))
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
     // L5 (fallback 4): deterministic "scrape" = the page text already
@@ -123,59 +163,82 @@ object Linking {
     val s5 = resolved2.unionByName(unresolved2)
     val ok5 = col("p_extract").isNotNull && length(col("p_extract")) >= minLen
 
-    s5.withColumn("wiki_extract",
-        when(ok1, col("w_extract"))
-          .when(ok2, col("w2_extract"))
-          .when(ok5, col("p_extract"))
-          .otherwise(col("w_extract"))) // short primary extract still reported
-      .withColumn("wiki_fallback_source",
-        when(ok1, lit(null).cast("string"))
-          .when(ok2, lit(s"${secondaryLang}_wikipedia"))
-          .when(ok5, lit("beautifulsoup"))
-          .otherwise(lit(null).cast("string")))
-      .withColumn("wiki_url",
-        when(ok1 || !ok2, col("w_url")).otherwise(col("w2_url")))
-      .withColumn("wiki_categories", cleanCategories(coalesce(col("w_categories"), array())))
-      .withColumn("wiki_links", coalesce(col("w_links"), array().cast("array<string>")))
-      .withColumn("wiki_wikidata_id", col("w_wikidata_id"))
+    // one flat projection (not a withColumn chain — keeps the analyzed plan
+    // a single Project over the join tree)
+    val keep = entities.columns.map(col).toIndexedSeq
+    s5.select(keep ++ Seq(
+      when(ok1, col("w_extract"))
+        .when(ok2, col("w2_extract"))
+        .when(ok5, col("p_extract"))
+        .otherwise(col("w_extract")) // short primary extract still reported
+        .as("wiki_extract"),
+      when(ok1, lit(null).cast("string"))
+        .when(ok2, lit(s"${secondaryLang}_wikipedia"))
+        .when(ok5, lit("beautifulsoup"))
+        .otherwise(lit(null).cast("string"))
+        .as("wiki_fallback_source"),
+      when(ok1 || !ok2, col("w_url")).otherwise(col("w2_url")).as("wiki_url"),
+      cleanCategories(coalesce(col("w_categories"), array())).as("wiki_categories"),
+      coalesce(col("w_links"), array().cast("array<string>")).as("wiki_links"),
+      col("w_wikidata_id").as("wiki_wikidata_id"),
       // P14 status derivation: found iff any extract
-      .withColumn("wiki_status",
-        when(col("wiki_extract").isNotNull, lit("found")).otherwise(lit("not_found")))
-      .drop("w_title", "w_url", "w_extract", "w_categories", "w_links",
-        "w_wikidata_id", "sl_qid", "sl_title", "w2_title", "w2_url",
-        "w2_extract", "p_url", "p_extract", "w_lookup")
+      when(coalesce(
+        when(ok1, col("w_extract")).when(ok2, col("w2_extract"))
+          .when(ok5, col("p_extract")).otherwise(col("w_extract"))).isNotNull,
+        lit("found")).otherwise(lit("not_found")).as("wiki_status")): _*)
   }
 
-  /** L9-L12: Wikidata enrichment — qid from gazetteer/wiki pageprops, then a
-    * dictionary join + referenced-entity label self-join. */
-  def wikidata(spark: SparkSession, linked: DataFrame, wd: DataFrame): DataFrame = {
-    val wdSel = wd.select(col("qid").as("wd_qid"),
+  /** Dictionary-side referenced-label enrichment
+    * (wikidata/service.py:205-235): the per-row referenced-id arrays
+    * (instance_of, part_of) become array<struct<id,label>> by a SELF-JOIN
+    * ON THE DICTIONARY — explode the dict's id arrays, join the (qid,
+    * de-label) projection, regroup by position. O(dictionary), runs before
+    * any fat entity row is touched; never collects to the driver (the
+    * round-1 version materialized the full label map driver-side — a
+    * driver OOM at the 10^8-row dictionary scale). */
+  def enrichWdDict(wd: DataFrame, cfg: KgConfig): DataFrame = {
+    val labels = wd.select(col("qid").as("ref_qid"),
+      element_at(col("labels"), "de").as("ref_label"))
+    val base = wd.select(col("qid").as("wd_qid"),
       col("labels").as("wd_labels"), col("descriptions").as("wd_descriptions"),
-      col("instance_of").as("wd_instance_of_ids"), col("part_of").as("wd_part_of_ids"),
-      col("has_part").as("wd_has_part_ids"))
-    val withWd = linked
-      .withColumn("wd_key", coalesce(col("qid"), col("wiki_wikidata_id")))
-      .join(broadcast(wdSel), col("wd_key") === col("wd_qid"), "left")
+      col("instance_of").as("wd_instance_of_ids"), col("part_of").as("wd_part_of_ids"))
+    val pairs = base.select(col("wd_qid"),
+      posexplode(concat(
+        transform(col("wd_instance_of_ids"), x => struct(lit("i").as("src"), x.as("id"))),
+        transform(col("wd_part_of_ids"), x => struct(lit("p").as("src"), x.as("id")))))
+        .as(Seq("pos", "sid")))
+      .select(col("wd_qid"), col("pos"),
+        col("sid.src").as("src"), col("sid.id").as("id"))
+    val joined = dictJoin(pairs, labels, col("id"), col("ref_qid"), cfg,
+      xxhash64(col("wd_qid"), col("pos")))
+    val regrouped = joined
+      .groupBy("wd_qid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("src"),
+        col("id"), col("ref_label").as("label")))).as("all"))
+      .select(col("wd_qid").as("g_qid"),
+        transform(filter(col("all"), x => x("src") === "i"),
+          x => struct(x("id").as("id"), x("label").as("label"))).as("g_instance_of"),
+        transform(filter(col("all"), x => x("src") === "p"),
+          x => struct(x("id").as("id"), x("label").as("label"))).as("g_part_of"))
+    // dict rows with empty id arrays drop out of the explode — restore them
+    // with empty enrichments via a dict-scale left join
+    base.join(regrouped, col("wd_qid") === col("g_qid"), "left")
+      .select(col("wd_qid"), col("wd_labels"), col("wd_descriptions"),
+        coalesce(col("g_instance_of"),
+          array().cast("array<struct<id:string,label:string>>")).as("wd_instance_of"),
+        coalesce(col("g_part_of"),
+          array().cast("array<struct<id:string,label:string>>")).as("wd_part_of"))
+  }
 
-    // referenced-entity label enrichment (wikidata/service.py:205-235):
-    // qid → de-label lookup over the per-row referenced-id arrays. The
-    // lookup table is DICTIONARY-sized (same side we broadcast in every
-    // other link join), so this is a map-side broadcast lookup — an
-    // explode + shuffle-join + regroup here would shuffle the full fat
-    // entity rows twice for a per-row array projection.
-    val labelMap: Map[String, String] = wd
-      .select(col("qid"), element_at(col("labels"), "de").as("l"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val bcLabels = spark.sparkContext.broadcast(labelMap)
-    val enrichUdf = udf((ids: Seq[String]) =>
-      if (ids == null) null
-      else ids.map(id => (id, bcLabels.value.get(id).orNull)))
-    val e2 = withWd
-      .withColumn("wd_instance_of",
-        enrichUdf(col("wd_instance_of_ids")).cast("array<struct<id:string,label:string>>"))
-      .withColumn("wd_part_of",
-        enrichUdf(col("wd_part_of_ids")).cast("array<struct<id:string,label:string>>"))
-    e2.withColumn("wd_status",
+  /** L9-L12: Wikidata enrichment — qid from gazetteer/wiki pageprops, then
+    * ONE dictionary join against the pre-enriched dict (enrichWdDict). */
+  def wikidata(spark: SparkSession, linked: DataFrame, wd: DataFrame,
+      cfg: KgConfig): DataFrame = {
+    val enriched = enrichWdDict(wd, cfg)
+    val withKey = linked.withColumn("wd_key",
+      coalesce(col("qid"), col("wiki_wikidata_id")))
+    dictJoin(withKey, enriched, col("wd_key"), col("wd_qid"), cfg, col("url"))
+      .withColumn("wd_status",
         when(col("wd_qid").isNotNull, lit("found")).otherwise(lit("not_found")))
       .drop("wd_key")
   }
@@ -183,16 +246,17 @@ object Linking {
   /** L13: DBpedia link via deterministic URI construction (P10) + strict
     * linked criterion uri + en label + en abstract
     * (dbpedia/service.py:271-276). */
-  def dbpedia(spark: SparkSession, linked: DataFrame, dbp: DataFrame): DataFrame = {
+  def dbpedia(spark: SparkSession, linked: DataFrame, dbp: DataFrame,
+      cfg: KgConfig): DataFrame = {
     val uriUdf = udf((label: String) => TextUtils.dbpediaUri(label))
     val dbpSel = dbp.select(col("uri").as("dbp_uri_dict"),
       col("label_en").as("dbp_label"), col("abstract_en").as("dbp_abstract"),
       col("types").as("dbp_types"), col("categories").as("dbp_categories"))
-    linked
+    val withUri = linked
       .withColumn("dbp_label_src",
         coalesce(element_at(col("wd_labels"), "en"), col("entity")))
       .withColumn("dbp_uri", uriUdf(col("dbp_label_src")))
-      .join(broadcast(dbpSel), col("dbp_uri") === col("dbp_uri_dict"), "left")
+    dictJoin(withUri, dbpSel, col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"))
       .withColumn("dbp_status",
         when(col("dbp_uri").isNotNull && col("dbp_label").isNotNull &&
           col("dbp_abstract").isNotNull, lit("linked")).otherwise(lit("not_found")))
@@ -212,8 +276,8 @@ object Linking {
       cfg: KgConfig): DataFrame = {
     val sitelinks = wd.select(col("qid"), explode(col("sitelinks")).as(Seq("site", "title")))
     val w = wikipedia(spark, entities, wiki, redirects, sitelinks, scrapes, cfg)
-    val d = wikidata(spark, w, wd)
-    val b = dbpedia(spark, d, dbp)
+    val d = wikidata(spark, w, wd, cfg)
+    val b = dbpedia(spark, d, dbp, cfg)
     b.select(
       col("url"), col("lang"), col("entity_id").as("id"), col("entity"),
       struct(col("entity_type").as("typ"), col("inferred"),

@@ -15,7 +15,7 @@ object Oracle {
       typ: String, start: Int, end: Int, prior: Double)
   final case class OTriple(subject: String, predicate: String, obj: String, inferred: String)
 
-  private def isWord(c: Char) = Character.isLetterOrDigit(c)
+  private def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
 
   /** Naive multi-pattern scan: all alias occurrences via indexOf, word
     * boundaries, leftmost-longest non-overlapping selection, then L14

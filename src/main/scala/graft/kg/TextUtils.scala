@@ -44,9 +44,12 @@ object TextUtils extends Serializable {
   }
 
   /** chunk_text — utils/text_utils.py:90-112. Sliding char windows,
-    * start = max(end - overlap, 0), last chunk may be short. */
+    * start = max(end - overlap, 0), last chunk may be short. The reference
+    * loops forever when overlap >= size; here the effective overlap is
+    * clamped to size-1 so an executor task can never hang on bad config. */
   def chunkText(text: String, size: Int, overlap: Int = 0): Seq[String] = {
     if (text == null || text.isEmpty || size <= 0) return Seq.empty
+    val ov = math.min(overlap, size - 1)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
     val length = text.length
@@ -55,7 +58,7 @@ object TextUtils extends Serializable {
       val end = math.min(start + size, length)
       out += text.substring(start, end)
       if (end == length) done = true
-      else start = math.max(end - overlap, 0)
+      else start = math.max(end - ov, 0)
     }
     out.toSeq
   }
@@ -126,7 +129,8 @@ object TextUtils extends Serializable {
 
   def detectLanguage(text: String): String = {
     if (text == null || text.length < 3) return null
-    val words = text.toLowerCase(Locale.ROOT).split(" +", -1)
+    // Python str.split(): any-whitespace runs, no empty tokens
+    val words = text.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val counts = scala.collection.mutable.LinkedHashMap(LangMarkers.map { case (l, _) => l -> 0 }: _*)
     words.foreach { w =>
       val clean = pyStrip(w, ".,;:!?()[]{}\"'")

@@ -112,7 +112,7 @@ object TextOps {
          FROM w ORDER BY doc_id""",
     "ta_langid" ->
       """WITH w AS (SELECT doc_id, lang AS lang_declared,
-           list_transform(string_split(lower(text), ' '), x -> trim(x, '.,;:!?()[]{}"''')) AS ws,
+           list_transform(regexp_split_to_array(lower(text), '\s+'), x -> trim(x, '.,;:!?()[]{}"''')) AS ws,
            lower(text) AS lt FROM documents),
          c AS (SELECT doc_id, lang_declared, lt,
            len(list_filter(ws, x -> x IN ('der','die','das','und','ist','in','von','zu','mit','den','für','auf','ein','eine'))) AS c_de,
@@ -135,7 +135,7 @@ object TextOps {
                   i -> md5(substr(text, i, 5)))) AS fingerprint
          FROM documents ORDER BY doc_id""",
     "kg_chunks" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
          c AS (SELECT doc_id, text, n,
                  CASE WHEN n <= 120 THEN 1
                       ELSE 1 + CAST(ceil((n - 120) / 100.0) AS INT) END AS n_chunks

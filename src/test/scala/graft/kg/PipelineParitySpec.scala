@@ -33,6 +33,23 @@ class PipelineParitySpec extends SparkSpec {
     assert(recall >= 0.95, f"recall $recall%.4f < 0.95")
   }
 
+  test("salted/shuffle dictionary joins (forceSaltedJoins) produce identical nodes+edges") {
+    val pages = spark.createDataset(corpus.pages).repartition(8)
+    val salted = Pipeline.run(spark, pages, Pipeline.dictsFromCorpus(spark, corpus),
+      cfg.copy(forceSaltedJoins = true, nSalt = 4))
+    def nodeKeys(r: Pipeline.Result) = r.nodes.select(
+      $"url", $"entity", $"sources.wikipedia.status", $"sources.wikidata.status",
+      $"sources.dbpedia.status", $"sources.wikipedia.fallback_source",
+      to_json($"sources.wikidata.instance_of"), to_json($"sources.wikidata.part_of"))
+      .as[(String, String, String, String, String, String, String, String)].collect().toSet
+    assert(nodeKeys(salted) == nodeKeys(result), "node parity broadcast vs salted")
+    val e1 = result.edges.select("url", "subject", "predicate", "object")
+      .as[(String, String, String, String)].collect().toSet
+    val e2 = salted.edges.select("url", "subject", "predicate", "object")
+      .as[(String, String, String, String)].collect().toSet
+    assert(e1 == e2, "edge parity broadcast vs salted")
+  }
+
   test("entity caps hold: <= MAX_ENTITIES per doc, triples within entity set") {
     val perDoc = result.nodes.groupBy("url").count().agg(max("count")).head().getLong(0)
     assert(perDoc <= cfg.maxEntities)
