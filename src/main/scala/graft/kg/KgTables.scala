@@ -34,14 +34,18 @@ final class KgTables(spark: SparkSession, root: String) {
   def read(name: String): DataFrame = spark.read.parquet(path(name))
 
   /** Write a stage output + manifest row. Returns the re-read DataFrame so
-    * downstream stages scan pruned parquet instead of recomputing lineage. */
+    * downstream stages scan pruned parquet instead of recomputing lineage.
+    * The manifest row count comes from `df.observe()` captured DURING the
+    * write — a post-write re-read + count() would be a full extra scan of
+    * every stage output per run. */
   def write(df: DataFrame, name: String, runId: String, stage: String,
       fingerprint: String, partitionBy: Seq[String] = Nil): DataFrame = {
     if (isDone(runId, stage, fingerprint)) return read(name)
-    val w = df.write.mode("overwrite")
+    val obs = org.apache.spark.sql.Observation(s"rows_${name}_${System.nanoTime()}")
+    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
     val withParts = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     withParts.parquet(path(name))
-    val rows = spark.read.parquet(path(name)).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     val line = s"""{"run_id":"$runId","stage":"$stage","fingerprint":"$fingerprint","table":"$name","rows":$rows}""" + "\n"
     Files.write(manifestPath, line.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

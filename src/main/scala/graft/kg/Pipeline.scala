@@ -75,6 +75,20 @@ object Pipeline {
     Result(nodes, edges, components, metrics)
   }
 
+  /** Input fingerprint WITHOUT scanning the data (north_rule snapshot-based
+    * resume): hash of the sorted input file listing when the input is
+    * file-backed (the Iceberg-snapshot-id stand-in); otherwise a hash of
+    * the canonicalized logical plan. The previous `pages.count()` was a
+    * complete extra pass over the corpus — at 10^12 rows, a full scan spent
+    * only on naming the run. */
+  private def fingerprintOf(pages: Dataset[PageRow]): String = {
+    val files = pages.inputFiles
+    val src = if (files.nonEmpty) files.sorted.mkString("\n")
+              else s"plan:${pages.queryExecution.logical.semanticHash()}"
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    "in=" + md.digest(src.getBytes("UTF-8")).take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** Materializing run with snapshot/resume (SURVEY §7.4): each stage writes
     * parquet + manifest; a rerun with the same runId skips completed stages. */
   def runMaterialized(
@@ -85,7 +99,7 @@ object Pipeline {
       cfg: KgConfig = KgConfig.default,
       runId: String = "run1"): Result = {
     import spark.implicits._
-    val fp = s"pages=${pages.count()}" // input fingerprint
+    val fp = fingerprintOf(pages)
 
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
       dicts.wdPartOf, cfg)
