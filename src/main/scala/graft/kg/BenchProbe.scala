@@ -43,7 +43,7 @@ object BenchProbe {
       org.apache.spark.sql.functions.when(
         org.apache.spark.sql.functions.length($"scrape") > 0, $"scrape").as("p_extract"))
     val nodes = time("link") {
-      val n = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp, scrapes, cfg)
+      val n = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp, scrapes, dicts.synonyms, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       n.count()
       n

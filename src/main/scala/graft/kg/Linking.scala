@@ -99,10 +99,67 @@ object Linking {
     else saltedJoin(probe, dict, probeKey, dictKey, cfg.nSalt, joinType, Some(saltSource))
   }
 
-  /** L1-L6: Wikipedia linking with staged fallbacks. Input: entity rows
-    * (url, lang, entity, qid, ...). Adds wiki_url, wiki_extract,
-    * wiki_categories, wiki_links, wiki_wikidata_id, wiki_fallback_source,
-    * wiki_status.
+  /** L3 suggestion table (opensearch stand-in, wikipedia/fallbacks.py:82-157):
+    * for each unresolved lookup term, the first (by suggestion rank) primary
+    * title that prefix-matches the term AND carries a usable extract.
+    * Suggestion rank = (title length asc, title asc) capped at 5 — the
+    * deterministic stand-in for the API's relevance order + limit:5, with
+    * "try each suggestion until one works" expressed as filter + min_by.
+    * The prefix index is a bounded explode of the title dictionary (lengths
+    * 3..40) — linear in dictionary size, the batch form of the API's own
+    * prefix index. Input `terms`: one column os_key (lowercased lookup). */
+  private def opensearchPick(terms: DataFrame, primary: DataFrame,
+      minLen: Int): DataFrame = {
+    val pref = primary
+      .filter(length(col("w_title")) >= 3) // sub-3-char titles are not indexed
+      .select(col("w_title"),
+        explode(expr("transform(sequence(3, least(char_length(w_title), 40))," +
+          " i -> lower(substring(w_title, 1, i)))")).as("os_prefix"))
+    val cand = pref.join(terms.hint("shuffle_hash"),
+        col("os_prefix") === col("os_key"), "inner")
+      .withColumn("os_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("os_key")
+          .orderBy(length(col("w_title")), col("w_title"))))
+      .filter(col("os_rk") <= 5)
+      .select(col("os_key"), col("os_rk"), col("w_title").as("os_lookup_title"))
+    // fetch the suggested pages (≤5 per term), keep those with usable
+    // extracts, first-rank-wins per term
+    cand.join(primary.hint("shuffle_hash"),
+        col("os_lookup_title") === col("w_title"), "inner")
+      .filter(col("w_extract").isNotNull && length(col("w_extract")) >= minLen)
+      .groupBy("os_key")
+      .agg(min_by(struct(col("w_title").as("os_title"), col("w_url").as("os_url"),
+        col("w_extract").as("os_extract"), col("w_categories").as("os_categories"),
+        col("w_links").as("os_links"), col("w_wikidata_id").as("os_wikidata_id")),
+        col("os_rk")).as("os"))
+      .select(col("os_key").as("os_hit_key"), col("os.*"))
+  }
+
+  /** L4 synonym resolution table (wikipedia/fallbacks.py:160-234 +
+    * utils/synonym_utils.py:22-120 _COMMON_SYNONYMS): the synonyms
+    * dictionary (term, synonym, rank) composed with the title dictionary —
+    * per term, the first synonym (rank order, skipping the term itself)
+    * whose page has a usable extract. Entirely dictionary-side. */
+  private def synonymPick(synonyms: DataFrame, primary: DataFrame,
+      minLen: Int): DataFrame = {
+    synonyms
+      .filter(lower(col("synonym")) =!= lower(col("term"))) // skip the original
+      .join(primary.hint("shuffle_hash"), col("synonym") === col("w_title"), "inner")
+      .filter(col("w_extract").isNotNull && length(col("w_extract")) >= minLen)
+      .groupBy("term")
+      .agg(min_by(struct(col("w_title").as("syn_title"), col("w_url").as("syn_url"),
+        col("w_extract").as("syn_extract"), col("w_categories").as("syn_categories"),
+        col("w_links").as("syn_links"), col("w_wikidata_id").as("syn_wikidata_id")),
+        col("rank")).as("syn"))
+      .select(col("term").as("syn_hit_term"), col("syn.*"))
+  }
+
+  /** L1-L6: Wikipedia linking with the reference's staged fallback chain
+    * (wikipedia/service.py:1156-1259): L1 direct (redirect-resolved) →
+    * L2 language fallback → L3 opensearch → L4 synonym → L5 scrape. Each
+    * fallback joins ONLY the still-unresolved remainder. Adds wiki_url,
+    * wiki_url_alt, wiki_extract, wiki_categories, wiki_links,
+    * wiki_wikidata_id, wiki_fallback_source, wiki_status.
     */
   def wikipedia(
       spark: SparkSession,
@@ -111,6 +168,7 @@ object Linking {
       redirects: DataFrame,
       wdSitelinks: DataFrame, // (qid, site, title)
       scrapes: DataFrame, // (p_url, p_extract): pre-extracted page text (L5)
+      synonyms: DataFrame, // (term, synonym, rank) — L4 dictionary
       cfg: KgConfig): DataFrame = {
 
     val minLen = cfg.minExtractLen
@@ -121,7 +179,8 @@ object Linking {
     val secondaryLang = if (cfg.language == "de") "en" else "de"
     val secondary = wiki.filter(col("lang") === secondaryLang)
       .select(col("title").as("w2_title"), col("url").as("w2_url"),
-        col("extract").as("w2_extract"))
+        col("extract").as("w2_extract"), col("categories").as("w2_categories"),
+        col("internal_links").as("w2_links"), col("wikidata_id").as("w2_wikidata_id"))
 
     // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true),
     // then primary-language dictionary join
@@ -135,7 +194,8 @@ object Linking {
       col("w_lookup"), col("w_title"), cfg, col("url"))
 
     // resolved = extract present and long enough (P14 needs_fallback gate,
-    // wikipedia/service.py:998-1004)
+    // wikipedia/service.py:998-1004; the same minimal-extract criterion is
+    // applied uniformly as the acceptance test of every fallback stage)
     val ok1 = col("w_extract").isNotNull && length(col("w_extract")) >= minLen
 
     // L2 (fallback 1): other-language wiki via Wikidata sitelinks (L8/L9
@@ -147,44 +207,92 @@ object Linking {
     val s2 = dictJoin(s2a, secondary, col("sl_title"), col("w2_title"), cfg, s2a("url"))
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
+    // staged narrowing for real (wikipedia/service.py:1156-1259
+    // split_by_extract): resolved rows never enter any fallback shuffle
+    val resolved12 = s2.filter(ok1 || ok2)
+    val un2 = s2.filter(!(ok1 || ok2))
+
+    // L3 (fallback 2): opensearch suggestion pick over the remainder only.
+    // The pick table is keyed by DISTINCT lookup term — fat rows join a
+    // term-sized table, never the prefix index itself.
+    val osTerms = un2.select(lower(col("w_lookup")).as("os_key")).distinct()
+    val osPick = opensearchPick(osTerms, primary, minLen)
+    val s3 = dictJoin(un2, osPick, lower(col("w_lookup")), col("os_hit_key"),
+      cfg, un2("url"))
+    val ok3 = col("os_extract").isNotNull
+
+    val resolved3 = s3.filter(ok3)
+    val un3 = s3.filter(!ok3)
+
+    // L4 (fallback 3): synonym retry over the remainder; synonym table is
+    // composed with the title dictionary dictionary-side (synonymPick)
+    val synPick = synonymPick(synonyms, primary, minLen)
+    val s4 = dictJoin(un3, synPick, un3("entity"), col("syn_hit_term"),
+      cfg, un3("url"))
+    val ok4 = col("syn_extract").isNotNull
+
+    val resolved4 = s4.filter(ok4)
+    val un4 = s4.filter(!ok4)
+
     // L5 (fallback 4): deterministic "scrape" = the page text already
     // extracted by the S2 UDF in the extract pass (carried on DocOut so the
     // 100 TB html column is read exactly once in the whole pipeline).
-    // Staged narrowing for real (wikipedia/service.py:1156-1259): ONLY the
-    // still-unresolved remainder joins the scrape table — resolved rows
-    // never enter the shuffle. shuffle_hash beats sort-merge here: url keys
-    // are high-cardinality and skewless, so hashing the (smaller) scrape
-    // side avoids sorting the fat entity rows.
-    val resolved2 = s2.filter(ok1 || ok2)
-      .withColumn("p_extract", lit(null).cast("string"))
-    val unresolved2 = s2.filter(!(ok1 || ok2))
+    // shuffle_hash beats sort-merge here: url keys are high-cardinality and
+    // skewless, so hashing the (smaller) scrape side avoids sorting the fat
+    // entity rows.
+    val s5 = un4
       .join(scrapes.hint("shuffle_hash"), col("url") === col("p_url"), "left")
       .drop("p_url")
-    val s5 = resolved2.unionByName(unresolved2)
     val ok5 = col("p_extract").isNotNull && length(col("p_extract")) >= minLen
 
-    // one flat projection (not a withColumn chain — keeps the analyzed plan
-    // a single Project over the join tree)
+    // re-assemble: union of the per-stage branches, missing stage columns
+    // null-filled; then ONE flat projection
+    val all = Seq(resolved12, resolved3, resolved4, s5)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // P13 language-consistency gate (service.py:971-981): a page found in
+    // the wrong language (L2) keeps status=found but its url is demoted to
+    // url_alt; the primary url slot stays empty.
     val keep = entities.columns.map(col).toIndexedSeq
-    s5.select(keep ++ Seq(
+    all.select(keep ++ Seq(
       when(ok1, col("w_extract"))
         .when(ok2, col("w2_extract"))
+        .when(ok3, col("os_extract"))
+        .when(ok4, col("syn_extract"))
         .when(ok5, col("p_extract"))
         .otherwise(col("w_extract")) // short primary extract still reported
         .as("wiki_extract"),
       when(ok1, lit(null).cast("string"))
         .when(ok2, lit(s"${secondaryLang}_wikipedia"))
+        .when(ok3, lit("opensearch"))
+        .when(ok4, lit("synonym"))
         .when(ok5, lit("beautifulsoup"))
         .otherwise(lit(null).cast("string"))
         .as("wiki_fallback_source"),
-      when(ok1 || !ok2, col("w_url")).otherwise(col("w2_url")).as("wiki_url"),
-      cleanCategories(coalesce(col("w_categories"), array())).as("wiki_categories"),
-      coalesce(col("w_links"), array().cast("array<string>")).as("wiki_links"),
-      col("w_wikidata_id").as("wiki_wikidata_id"),
+      when(ok1, col("w_url"))
+        .when(ok2, lit(null).cast("string")) // P13: lang mismatch → demoted
+        .when(ok3, col("os_url"))
+        .when(ok4, col("syn_url"))
+        .otherwise(col("w_url"))
+        .as("wiki_url"),
+      when(ok2 && !ok1, col("w2_url")).otherwise(lit(null).cast("string"))
+        .as("wiki_url_alt"),
+      cleanCategories(coalesce(
+        when(ok1, col("w_categories")).when(ok2, col("w2_categories"))
+          .when(ok3, col("os_categories")).when(ok4, col("syn_categories"))
+          .otherwise(col("w_categories")),
+        array())).as("wiki_categories"),
+      coalesce(
+        when(ok1, col("w_links")).when(ok2, col("w2_links"))
+          .when(ok3, col("os_links")).when(ok4, col("syn_links"))
+          .otherwise(col("w_links")),
+        array().cast("array<string>")).as("wiki_links"),
+      coalesce(
+        when(ok1, col("w_wikidata_id")).when(ok2, col("w2_wikidata_id"))
+          .when(ok3, col("os_wikidata_id")).when(ok4, col("syn_wikidata_id")),
+        col("w_wikidata_id")).as("wiki_wikidata_id"),
       // P14 status derivation: found iff any extract
-      when(coalesce(
-        when(ok1, col("w_extract")).when(ok2, col("w2_extract"))
-          .when(ok5, col("p_extract")).otherwise(col("w_extract"))).isNotNull,
+      when(ok1 || ok2 || ok3 || ok4 || ok5 || col("w_extract").isNotNull,
         lit("found")).otherwise(lit("not_found")).as("wiki_status")): _*)
   }
 
@@ -243,9 +351,13 @@ object Linking {
       .drop("wd_key")
   }
 
-  /** L13: DBpedia link via deterministic URI construction (P10) + strict
-    * linked criterion uri + en label + en abstract
-    * (dbpedia/service.py:271-276). */
+  /** L13 + S6: DBpedia link via deterministic URI construction (P10) +
+    * strict linked criterion uri + en label + en abstract
+    * (dbpedia/service.py:271-276), then the Lookup-API fallback
+    * (dbpedia/fetchers.py:612+, fallbacks.py:61-152) over the strict-miss
+    * remainder: a name→resource lookup keyed on the lowercased English
+    * label, first candidate by uri order — the deterministic stand-in for
+    * the Lookup service's relevance-ranked first hit. */
   def dbpedia(spark: SparkSession, linked: DataFrame, dbp: DataFrame,
       cfg: KgConfig): DataFrame = {
     val uriUdf = udf((label: String) => TextUtils.dbpediaUri(label))
@@ -256,11 +368,52 @@ object Linking {
       .withColumn("dbp_label_src",
         coalesce(element_at(col("wd_labels"), "en"), col("entity")))
       .withColumn("dbp_uri", uriUdf(col("dbp_label_src")))
-    dictJoin(withUri, dbpSel, col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"))
+    val joined = dictJoin(withUri, dbpSel,
+      col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"))
+    val strictOk = col("dbp_uri").isNotNull && col("dbp_label").isNotNull &&
+      col("dbp_abstract").isNotNull
+
+    // S6 Lookup fallback over the remainder only: dictionary-side pick of
+    // the first strict-satisfying resource per lowercased label
+    val lookupPick = dbp
+      .filter(col("label_en").isNotNull && col("abstract_en").isNotNull)
+      .groupBy(lower(col("label_en")).as("lk_key"))
+      .agg(min_by(struct(col("uri").as("lk_uri"), col("label_en").as("lk_label"),
+        col("abstract_en").as("lk_abstract"), col("types").as("lk_types"),
+        col("categories").as("lk_categories")), col("uri")).as("lk"))
+      .select(col("lk_key"), col("lk.*"))
+    val hit = joined.filter(strictOk)
+    val missJoined = dictJoin(joined.filter(!strictOk), lookupPick,
+      lower(col("dbp_label_src")), col("lk_key"), cfg, col("url"))
+    val lookupOk = col("lk_uri").isNotNull &&
+      // the Lookup hit must not be the same resource the construction
+      // already tried (that one failed strict)
+      !(col("lk_uri") <=> col("dbp_uri"))
+
+    // freeze the stage outcome as boolean columns BEFORE overwriting the
+    // dbp_* columns (a when(strictOk, ...) chain would re-resolve against
+    // the already-overwritten columns)
+    val merged = hit.unionByName(missJoined, allowMissingColumns = true)
+      .withColumn("__strict", strictOk)
+      .withColumn("__lookup", coalesce(lookupOk, lit(false)))
+    merged
+      .withColumn("dbp_fallback_source",
+        when(!col("__strict") && col("__lookup"), lit("lookup_api"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("dbp_label",
+        when(col("__strict"), col("dbp_label")).when(col("__lookup"), col("lk_label")))
+      .withColumn("dbp_abstract",
+        when(col("__strict"), col("dbp_abstract")).when(col("__lookup"), col("lk_abstract")))
+      .withColumn("dbp_types",
+        when(col("__strict"), col("dbp_types")).when(col("__lookup"), col("lk_types")))
+      .withColumn("dbp_categories",
+        when(col("__strict"), col("dbp_categories")).when(col("__lookup"), col("lk_categories")))
+      .withColumn("dbp_uri",
+        when(col("__lookup"), col("lk_uri")).otherwise(col("dbp_uri")))
       .withColumn("dbp_status",
-        when(col("dbp_uri").isNotNull && col("dbp_label").isNotNull &&
-          col("dbp_abstract").isNotNull, lit("linked")).otherwise(lit("not_found")))
-      .drop("dbp_uri_dict", "dbp_label_src")
+        when(col("__strict") || col("__lookup"), lit("linked")).otherwise(lit("not_found")))
+      .drop("dbp_uri_dict", "dbp_label_src", "lk_key", "lk_uri", "lk_label",
+        "lk_abstract", "lk_types", "lk_categories", "__strict", "__lookup")
   }
 
   /** Full L-chain: Wikipedia → Wikidata → DBpedia (orchestrator order),
@@ -273,9 +426,10 @@ object Linking {
       wd: DataFrame,
       dbp: DataFrame,
       scrapes: DataFrame,
+      synonyms: DataFrame,
       cfg: KgConfig): DataFrame = {
     val sitelinks = wd.select(col("qid"), explode(col("sitelinks")).as(Seq("site", "title")))
-    val w = wikipedia(spark, entities, wiki, redirects, sitelinks, scrapes, cfg)
+    val w = wikipedia(spark, entities, wiki, redirects, sitelinks, scrapes, synonyms, cfg)
     val d = wikidata(spark, w, wd, cfg)
     val b = dbpedia(spark, d, dbp, cfg)
     b.select(
@@ -283,7 +437,8 @@ object Linking {
       struct(col("entity_type").as("typ"), col("inferred"),
         col("citation"), col("citation_start"), col("citation_end")).as("details"),
       struct(
-        struct(col("wiki_url").as("url"), col("wiki_extract").as("extract"),
+        struct(col("wiki_url").as("url"), col("wiki_url_alt").as("url_alt"),
+          col("wiki_extract").as("extract"),
           col("wiki_categories").as("categories"), col("wiki_links").as("internal_links"),
           col("wiki_wikidata_id").as("wikidata_id"),
           col("wiki_fallback_source").as("fallback_source"),
@@ -295,6 +450,7 @@ object Linking {
         struct(col("dbp_uri").as("uri"), col("dbp_label").as("label"),
           col("dbp_abstract").as("abstract"), col("dbp_types").as("types"),
           col("dbp_categories").as("categories"),
+          col("dbp_fallback_source").as("fallback_source"),
           col("dbp_status").as("status")).as("dbpedia")).as("sources"),
       col("freq"))
   }

@@ -17,6 +17,7 @@ object Pipeline {
       redirects: DataFrame,
       wd: DataFrame,
       dbp: DataFrame,
+      synonyms: DataFrame,
       wdPartOf: Map[String, Set[String]])
 
   final case class Result(nodes: DataFrame, edges: DataFrame,
@@ -31,6 +32,7 @@ object Pipeline {
       redirects = c.redirects.toDF(),
       wd = c.wdEntities.toDF(),
       dbp = c.dbpedia.toDF(),
+      synonyms = c.synonyms.toDF(),
       wdPartOf = c.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap)
   }
 
@@ -61,7 +63,7 @@ object Pipeline {
     val scrapes = docOut.toDF().select(col("url").as("p_url"),
       when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
     val nodes = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects,
-      dicts.wd, dicts.dbp, scrapes, cfg)
+      dicts.wd, dicts.dbp, scrapes, dicts.synonyms, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- canonicalize: connected components over alias/redirect edges ----
@@ -114,7 +116,7 @@ object Pipeline {
 
     val nodes = tables.write(
       Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd,
-        dicts.dbp, scrapes, cfg),
+        dicts.dbp, scrapes, dicts.synonyms, cfg),
       "kg_nodes", runId, "link", fp)
 
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")

@@ -39,7 +39,7 @@ object ScaleProbe {
         org.apache.spark.sql.functions.when(
           org.apache.spark.sql.functions.length($"scrape") > 0, $"scrape").as("p_extract"))
       val nodes = t("link") {
-        val n = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp, scrapes, KgConfig.default)
+        val n = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp, scrapes, dicts.synonyms, KgConfig.default)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         n.count(); n
       }

@@ -89,6 +89,10 @@ final case class WikiPageRow(
 /** Redirect row (reference follows redirects:true — async_fetchers.py:231). */
 final case class RedirectRow(from_title: String, to_title: String, lang: String)
 
+/** Synonym dictionary row (L4 — utils/synonym_utils.py:22-120
+  * _COMMON_SYNONYMS semantics; rank = the list order the reference tries). */
+final case class SynonymRow(term: String, synonym: String, rank: Int)
+
 /** Wikidata dictionary row (wikidata/formatters.py:37-51 property selection). */
 final case class WdEntityRow(
     qid: String,

@@ -29,7 +29,8 @@ object SyntheticCorpus {
       wikiPages: Seq[WikiPageRow],
       redirects: Seq[RedirectRow],
       wdEntities: Seq[WdEntityRow],
-      dbpedia: Seq[DbpediaRow])
+      dbpedia: Seq[DbpediaRow],
+      synonyms: Seq[SynonymRow])
 
   private val firstNames = Vector("Anna", "Bruno", "Clara", "David", "Emil",
     "Frieda", "Georg", "Hanna", "Ivo", "Julia", "Karl", "Lena", "Moritz",
@@ -234,26 +235,48 @@ object SyntheticCorpus {
 
     // ---- dictionaries ----
     val detRng = new Random(seed * 7919L)
+    // Fallback-path fixtures by idx class (each L-stage has entities that
+    // resolve ONLY through it):
+    //   idx%20==7  → no wiki page at all; idx%40==27 resolves via the L4
+    //                synonym stage (synonym → part_of group head's page),
+    //                idx%40==7 falls through to L5 scrape / not_found
+    //   idx%20==17 → de page exists only under a LONGER title, no en page,
+    //                no redirect → resolves only via L3 opensearch prefix
+    //   otherwise  → de+en pages; idx%7==3 has a short de extract
+    //                (needs_fallback → L2 language fallback when the en
+    //                extract is long enough)
     val wikiPages = entities.flatMap { e =>
-      // ~10% of entities have no wiki page at all (fallback path); of the
-      // rest, extracts shorter than minExtractLen occur (needs_fallback)
-      if (e.idx % 10 == 7) Nil
-      else {
-        val longBody = s"${e.name} ist ein bedeutendes Thema der Kategorie ${e.typ}. " * 3
+      val longBody = s"${e.name} ist ein bedeutendes Thema der Kategorie ${e.typ}. " * 3
+      val cats = Seq(s"Kategorie:${e.typ}", s"Kategorie:Themen") ++
+        (if (e.idx % 5 == 0) Seq("Articles with short description", "Wikipedia stub") else Nil)
+      val links = entities.filter(x => x.idx != e.idx && x.idx % 17 == e.idx % 17)
+        .take(5).map(_.name)
+      if (e.idx % 20 == 7) Nil
+      else if (e.idx % 20 == 17) {
+        val longTitle = s"${e.name} (Ausführlich)"
+        Seq(WikiPageRow(longTitle, "de",
+          s"https://de.wikipedia.org/wiki/${longTitle.replace(' ', '_')}",
+          longBody.trim, cats, links, e.qid, Map.empty, s"thumb-${e.idx}.jpg"))
+      } else {
         val shortBody = s"${e.name}: kurzer Eintrag."
         val extract = if (e.idx % 7 == 3) shortBody else longBody.trim
-        val cats = Seq(s"Kategorie:${e.typ}", s"Kategorie:Themen") ++
-          (if (e.idx % 5 == 0) Seq("Articles with short description", "Wikipedia stub") else Nil)
-        val links = entities.filter(x => x.idx != e.idx && x.idx % 17 == e.idx % 17)
-          .take(5).map(_.name)
         Seq(
           WikiPageRow(e.name, "de", s"https://de.wikipedia.org/wiki/${e.name.replace(' ', '_')}",
             extract, cats, links, e.qid, Map("en" -> s"${e.name} (en)"), s"thumb-${e.idx}.jpg"),
           WikiPageRow(s"${e.name} (en)", "en", s"https://en.wikipedia.org/wiki/${e.name.replace(' ', '_')}",
-            s"${e.name} is a notable ${e.typ}. " * 2, cats, links, e.qid,
-            Map("de" -> e.name), s"thumb-${e.idx}.jpg"))
+            s"${e.name} is a notable ${e.typ} covered at length in this corpus. " * 2,
+            cats, links, e.qid, Map("de" -> e.name), s"thumb-${e.idx}.jpg"))
       }
     }
+    // L4 synonym dictionary: rank 1 deliberately points at a nonexistent
+    // title (the stage must try candidates IN ORDER), rank 2 at the part_of
+    // group head's real page
+    val synonyms = entities.collect {
+      case e if e.idx % 40 == 27 =>
+        val head = entities(e.idx - e.idx % 5)
+        Seq(SynonymRow(e.name, s"${e.name} Alt", 1),
+            SynonymRow(e.name, head.name, 2))
+    }.flatten
     val redirects = entities.collect {
       case e if e.idx % 4 == 1 => RedirectRow(s"${e.name} (Begriffsklärung)", e.name, "de")
     } ++ persons.flatMap { p =>
@@ -270,20 +293,26 @@ object SyntheticCorpus {
         subclass_of = Nil,
         part_of = if (e.idx % 5 != 0) Seq(head.qid) else Nil,
         has_part = if (e.idx % 5 == 0) entities.filter(x => x.idx / 5 == e.idx / 5 && x.idx != e.idx).map(_.qid) else Nil,
-        sitelinks = Map("dewiki" -> e.name, "enwiki" -> s"${e.name} (en)"))
+        sitelinks =
+          if (e.idx % 20 == 17) Map("dewiki" -> s"${e.name} (Ausführlich)")
+          else Map("dewiki" -> e.name, "enwiki" -> s"${e.name} (en)"))
     }
     val dbpedia = entities.collect {
       // ~30% missing the en abstract → status "not_found" under the strict
-      // linked criterion (dbpedia/service.py:271-276)
+      // linked criterion (dbpedia/service.py:271-276). idx%9==3 resources
+      // live under a DISAMBIGUATED name (construction from the en label
+      // misses) → linkable only via the S6 Lookup fallback.
       case e if e.idx % 3 != 2 =>
         DbpediaRow(
-          uri = TextUtils.dbpediaUri(e.name),
+          uri = TextUtils.dbpediaUri(
+            if (e.idx % 9 == 3) s"${e.name} (Begriff)" else e.name),
           label_en = e.name,
           abstract_en = if (e.idx % 3 == 0) s"${e.name} is a ${e.typ} in the corpus." else null,
           types = Seq(s"dbo:${e.typ}"),
           categories = Seq(s"dbc:${e.typ}s"))
     }
     val _ = detRng
-    Corpus(pages, entities, aliasRows.toSeq, patterns, wikiPages, redirects, wdEntities, dbpedia)
+    Corpus(pages, entities, aliasRows.toSeq, patterns, wikiPages, redirects,
+      wdEntities, dbpedia, synonyms)
   }
 }
