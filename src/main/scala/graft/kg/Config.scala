@@ -18,6 +18,7 @@ final case class KgConfig(
     mode: String = "extract",           // settings.py MODE (extract|generate)
     relationExtraction: Boolean = true, // settings.py RELATION_EXTRACTION
     enableEntityInference: Boolean = true, // implicit relations stage (R2)
+    tfidfWeight: Double = 0.3,          // L14 context-cosine weight (north_star scoring)
     nSalt: Int = 8,                     // skew salting factor for dictionary joins
     // dictJoin gate: dictionaries estimated under this take the broadcast
     // path; larger ones take the salted shuffle-hash path (Linking.dictJoin)

@@ -23,34 +23,73 @@ object KgExtract {
   final case class DocOut(url: String, scrape: String,
       entities: Seq[EntityRow], triples: Seq[TripleRow])
 
-  /** Broadcastable gazetteer: automaton + per-pattern candidate lists. */
+  /** Broadcastable gazetteer: automaton + per-pattern candidate lists +
+    * the L14 TF-IDF disambiguation tables (candidate description vectors,
+    * L2-normalized, and the description-corpus IDF map). The vectors exist
+    * ONLY for ambiguous surfaces, so the broadcast stays dictionary-sized
+    * (SURVEY §7.6-4 driver budget). */
   final case class Gazetteer(
       automaton: AhoCorasick,
-      candidates: Array[List[(String, String, String, Double)]]) // (canonical, qid, typ, prior)
+      candidates: Array[List[(String, String, String, Double)]], // (canonical, qid, typ, prior)
+      candVecs: Array[List[Map[String, Double]]], // aligned; empty for unambiguous
+      idf: Map[String, Double])
     extends Serializable
 
-  def buildGazetteer(aliases: Seq[AliasRow]): Gazetteer = {
+  /** Tokenizer shared by description vectors and document context:
+    * lowercase, word chars only. */
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  def buildGazetteer(aliases: Seq[AliasRow],
+      descByQid: Map[String, String] = Map.empty): Gazetteer = {
     val surfaces = aliases.map(_.alias).distinct.sorted.toVector
     val byAlias = aliases.groupBy(_.alias)
     val cands = surfaces.map { s =>
       byAlias(s).sortBy(a => (-a.prior, a.canonical))
         .map(a => (a.canonical, a.qid, a.entity_type, a.prior)).toList
     }.toArray
-    Gazetteer(AhoCorasick.build(surfaces), cands)
+    // IDF over the description corpus (one doc per dictionary entity);
+    // idf = ln(N / (1 + df)) floored at 0 — common boilerplate terms
+    // contribute nothing, discriminative terms dominate
+    val descs = descByQid.values.toVector
+    val n = math.max(descs.size, 1)
+    val df = scala.collection.mutable.HashMap.empty[String, Int]
+    descs.foreach(d => tokenize(d).distinct.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
+    val idf = df.iterator.map { case (t, c) =>
+      t -> math.max(math.log(n.toDouble / (1 + c)), 0.0)
+    }.toMap
+    // candidate vectors (ambiguous surfaces only): tf*idf, L2-normalized
+    def vec(qid: String): Map[String, Double] = {
+      val toks = tokenize(descByQid.getOrElse(qid, ""))
+      val tf = toks.groupBy(identity).map { case (t, g) => t -> g.length.toDouble }
+      val w = tf.map { case (t, f) => t -> f * idf.getOrElse(t, 0.0) }.filter(_._2 > 0)
+      val norm = math.sqrt(w.values.map(x => x * x).sum)
+      if (norm == 0) Map.empty else w.map { case (t, x) => t -> x / norm }
+    }
+    val vecs = cands.map {
+      case _ :: Nil => List.empty[Map[String, Double]]
+      case many => many.map(c => vec(c._2))
+    }
+    Gazetteer(AhoCorasick.build(surfaces), cands, vecs, idf)
   }
 
-  /** L14 candidate scoring: anchor prior + pairwise document coherence.
+  /** L14 candidate scoring (north_star: anchor prior + context TF-IDF
+    * cosine + pairwise coherence re-rank):
+    *   score = prior + CoherenceBoost·[group co-mentioned]
+    *                 + tfidfWeight·cos(doc context, candidate description)
     * Coherence groups come from the Wikidata part_of hierarchy: a candidate
     * whose group (its part_of head, else itself) is shared with any
-    * UNAMBIGUOUS mention in the same document gets a +0.2 boost — the
-    * deterministic re-rank standing in for the reference's "first/best
-    * search hit" (wikidata/service.py:329-331; context TF-IDF cosine is the
-    * planned round-2 refinement). Tie-break: canonical asc.
+    * UNAMBIGUOUS mention in the same document gets the boost. The cosine
+    * compares the document's token TF-IDF vector with the candidate's
+    * description vector (both under the dictionary IDF). Tie-break:
+    * canonical asc. All tables are broadcast; scoring stays map-only.
     */
   val CoherenceBoost = 0.2
 
   def rawMentions(text: String, gaz: Gazetteer,
-      partOf: Map[String, Set[String]]): Seq[DocProcess.RawMention] = {
+      partOf: Map[String, Set[String]],
+      tfidfWeight: Double = KgConfig.default.tfidfWeight): Seq[DocProcess.RawMention] = {
     val found = gaz.automaton.find(text)
     def group(qid: String): String =
       partOf.getOrElse(qid, Set.empty).headOption.getOrElse(qid)
@@ -59,14 +98,37 @@ object KgExtract {
       .map { case (pid, _, _) => gaz.candidates(pid) }
       .collect { case single :: Nil => group(single._2) }
       .toSet
+    // document context vector terms (computed lazily — only docs containing
+    // an ambiguous mention pay the tokenize cost)
+    lazy val (docW: Map[String, Double], docNorm: Double) = {
+      val tf = scala.collection.mutable.HashMap.empty[String, Int]
+      tokenize(text).foreach(t => tf(t) = tf.getOrElse(t, 0) + 1)
+      val w = tf.iterator.map { case (t, f) => t -> f * gaz.idf.getOrElse(t, 0.0) }
+        .filter(_._2 > 0).toMap
+      (w, math.sqrt(w.values.map(x => x * x).sum))
+    }
+    def cosine(candVec: Map[String, Double]): Double = {
+      if (candVec.isEmpty || docNorm == 0) 0.0
+      else {
+        var dot = 0.0
+        candVec.foreach { case (t, x) => dot += x * docW.getOrElse(t, 0.0) }
+        dot / docNorm
+      }
+    }
     found.map { case (pid, s, e) =>
       val cands = gaz.candidates(pid)
       val (canonical, qid, typ, prior) = cands match {
         case single :: Nil => single
-        case many => many.map { c =>
-          val score = c._4 + (if (contextGroups.contains(group(c._2))) CoherenceBoost else 0.0)
-          (c, score)
-        }.minBy { case (c, score) => (-score, c._1) }._1
+        case many =>
+          val vecs = gaz.candVecs(pid)
+          many.zip(vecs).map { case (c, v) =>
+            val score = c._4 +
+              (if (contextGroups.contains(group(c._2))) CoherenceBoost else 0.0) +
+              tfidfWeight * cosine(v)
+            // round to 9 decimals: scores within float noise are TIES,
+            // resolved by canonical asc — keeps engine/oracle parity exact
+            (c, math.rint(score * 1e9) / 1e9)
+          }.minBy { case (c, score) => (-score, c._1) }._1
       }
       DocProcess.RawMention(text.substring(s, e), canonical, qid, typ, s, e, prior)
     }
@@ -83,10 +145,11 @@ object KgExtract {
       patterns: Seq[PatternRow],
       wdPartOf: Map[String, Set[String]],
       cfg: KgConfig,
-      useHtml: Boolean = true): Dataset[DocOut] = {
+      useHtml: Boolean = true,
+      descByQid: Map[String, String] = Map.empty): Dataset[DocOut] = {
     import spark.implicits._
     val bcGaz: Broadcast[Gazetteer] =
-      spark.sparkContext.broadcast(buildGazetteer(aliases))
+      spark.sparkContext.broadcast(buildGazetteer(aliases, descByQid))
     val bcPats = spark.sparkContext.broadcast(
       patterns.groupBy(_.lang).map { case (l, ps) => l -> ps.map(p => p.middle -> p).toMap })
     val bcPartOf = spark.sparkContext.broadcast(wdPartOf)
@@ -99,7 +162,7 @@ object KgExtract {
       val c = bcCfg.value
       it.map { p =>
         val text = if (useHtml) TextExtract.extractText(p.html) else p.text
-        val ms = rawMentions(text, gaz, partOf)
+        val ms = rawMentions(text, gaz, partOf, c.tfidfWeight)
         val (ents, trips) = DocProcess.process(p.url, text, p.lang, ms, pats, partOf, c)
         DocOut(p.url, text.take(1200), ents, trips)
       }

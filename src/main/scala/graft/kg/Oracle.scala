@@ -17,12 +17,43 @@ object Oracle {
 
   private def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
 
+  /** Naive TF-IDF tables for the L14 context cosine, recomputed per call
+    * with plain loops (no sharing with the engine's vectorised build). */
+  private def naiveTok(s: String): Vector[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toVector
+
   /** Naive multi-pattern scan: all alias occurrences via indexOf, word
     * boundaries, leftmost-longest non-overlapping selection, then L14
     * scoring (anchor prior + part_of-group coherence with unambiguous
-    * document mentions; boost 0.2, tie-break canonical asc). */
+    * document mentions, boost 0.2, + context TF-IDF cosine against the
+    * candidate's description, weight cfg.tfidfWeight; tie-break canonical
+    * asc). */
   def scan(text: String, aliases: Seq[AliasRow],
-      partOf: Map[String, Set[String]] = Map.empty): Vector[OMention] = {
+      partOf: Map[String, Set[String]] = Map.empty,
+      descByQid: Map[String, String] = Map.empty,
+      tfidfWeight: Double = KgConfig.default.tfidfWeight): Vector[OMention] = {
+    // idf over the description corpus: ln(N/(1+df)) floored at 0
+    val n = math.max(descByQid.size, 1)
+    val df = mutable.HashMap.empty[String, Int]
+    descByQid.values.foreach(d =>
+      naiveTok(d).distinct.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
+    def idf(t: String): Double =
+      df.get(t).map(c => math.max(math.log(n.toDouble / (1 + c)), 0.0)).getOrElse(0.0)
+    // document context vector
+    val docTf = mutable.HashMap.empty[String, Int]
+    naiveTok(text).foreach(t => docTf(t) = docTf.getOrElse(t, 0) + 1)
+    val docW = docTf.map { case (t, f) => t -> f * idf(t) }.filter(_._2 > 0)
+    val docNorm = math.sqrt(docW.values.map(x => x * x).sum)
+    def cosine(qid: String): Double = {
+      val toks = naiveTok(descByQid.getOrElse(qid, ""))
+      if (toks.isEmpty || docNorm == 0) return 0.0
+      val tf = toks.groupBy(identity).map { case (t, g) => t -> g.length.toDouble }
+      val w = tf.map { case (t, f) => t -> f * idf(t) }.filter(_._2 > 0)
+      val norm = math.sqrt(w.values.map(x => x * x).sum)
+      if (norm == 0) 0.0
+      else w.map { case (t, x) => x * docW.getOrElse(t, 0.0) }.sum / (norm * docNorm)
+    }
     val byAlias = aliases.groupBy(_.alias)
     val all = mutable.ArrayBuffer.empty[(Int, Int, String)] // (start, end, alias)
     byAlias.keys.foreach { a =>
@@ -55,8 +86,11 @@ object Oracle {
       val best =
         if (cands.size == 1) cands.head
         else cands.sortBy { c =>
-          val score = c.prior + (if (context.contains(grp(c.qid))) 0.2 else 0.0)
-          (-score, c.canonical)
+          val score = c.prior +
+            (if (context.contains(grp(c.qid))) 0.2 else 0.0) +
+            tfidfWeight * cosine(c.qid)
+          // same 9-decimal tie rounding as the engine
+          (-math.rint(score * 1e9) / 1e9, c.canonical)
         }.head
       OMention(a, best.canonical, best.qid, best.entity_type, s, e, best.prior)
     }.toVector
@@ -74,7 +108,8 @@ object Oracle {
 
     val text = page.text
     val partOfAll = wd.map(w => w.qid -> w.part_of.toSet).toMap
-    val ms = scan(text, aliases, partOfAll)
+    val descs = wd.map(w => w.qid -> w.descriptions.getOrElse("de", "")).toMap
+    val ms = scan(text, aliases, partOfAll, descs, cfg.tfidfWeight)
 
     // dedup by lowercase name, first wins; count frequency
     val order = mutable.ArrayBuffer.empty[String]

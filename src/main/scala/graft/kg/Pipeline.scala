@@ -18,7 +18,8 @@ object Pipeline {
       wd: DataFrame,
       dbp: DataFrame,
       synonyms: DataFrame,
-      wdPartOf: Map[String, Set[String]])
+      wdPartOf: Map[String, Set[String]],
+      wdDesc: Map[String, String])
 
   final case class Result(nodes: DataFrame, edges: DataFrame,
       components: DataFrame, metrics: DataFrame)
@@ -33,7 +34,8 @@ object Pipeline {
       wd = c.wdEntities.toDF(),
       dbp = c.dbpedia.toDF(),
       synonyms = c.synonyms.toDF(),
-      wdPartOf = c.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap)
+      wdPartOf = c.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap,
+      wdDesc = c.wdEntities.map(w => w.qid -> w.descriptions.getOrElse("de", "")).toMap)
   }
 
   /** In-memory run (tests, benchmarks): no table layer, returns the live
@@ -49,7 +51,7 @@ object Pipeline {
 
     // ---- extract stage: fused map pass (E1-E3, R1-R4, D3, D6) ----
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
-      dicts.wdPartOf, cfg, useHtml)
+      dicts.wdPartOf, cfg, useHtml, dicts.wdDesc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val entities = docOut.flatMap(_.entities).toDF()
@@ -104,7 +106,7 @@ object Pipeline {
     val fp = fingerprintOf(pages)
 
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
-      dicts.wdPartOf, cfg)
+      dicts.wdPartOf, cfg, useHtml = true, descByQid = dicts.wdDesc)
     val entities = tables.write(docOut.flatMap(_.entities).toDF(), "kg_entities",
       runId, "extract_entities", fp)
     val edgesRaw = tables.write(docOut.flatMap(_.triples).toDF(), "kg_edges",

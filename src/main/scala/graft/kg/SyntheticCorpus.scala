@@ -155,7 +155,12 @@ object SyntheticCorpus {
       val pagePatterns = patterns.filter(_.lang == lang)
       val fillers = if (lang == "de") fillersDe else fillersEn
       val nSent = 4 + rng.nextInt(8)
-      val sents = (0 until nSent).map { _ =>
+      // Homonym surfaces have EQUAL priors — only the L14 context TF-IDF
+      // cosine can disambiguate them, via the Markwort marker sentence
+      // emitted alongside (the marker token appears in the intended
+      // candidate's Wikidata description and nowhere else)
+      val markers = mutable.ArrayBuffer.empty[String]
+      val sentsBase = (0 until nSent).map { _ =>
         if (rng.nextDouble() < 0.6) {
           val a = zipfPick(rng)
           var b = zipfPick(rng)
@@ -163,10 +168,14 @@ object SyntheticCorpus {
           while (b.idx == a.idx && guard < 5) { b = zipfPick(rng); guard += 1 }
           val pat = pagePatterns(rng.nextInt(pagePatterns.size))
           // surface form: ambiguous alias (prior-disambiguation path) >
-          // unique last name > canonical
+          // equal-prior homonym (tfidf path) > unique last name > canonical
           def surface(e: Entity): String = {
             val r = rng.nextDouble()
             if ((e.idx % 10 == 0 || e.idx % 10 == 5) && r < 0.15) s"Ambigon${e.idx / 10}"
+            else if ((e.idx % 10 == 1 || e.idx % 10 == 6) && r < 0.15) {
+              markers += s"Markwort${e.idx}"
+              s"Homonym${e.idx / 10}"
+            }
             else if (r < 0.35) lastAlias.getOrElse(e.idx, e.name)
             else e.name
           }
@@ -175,6 +184,8 @@ object SyntheticCorpus {
           s"$surfA ${pat.middle} $surfB."
         } else fillers(rng.nextInt(fillers.size))
       }
+      val sents = sentsBase ++
+        markers.distinct.map(m => s"Die Quelle nennt $m ausdrücklich.")
       // distribute into paragraphs; ~20% of pages get a 4th paragraph that
       // extract_text must drop (first-3 rule, fallbacks.py:283)
       val nParas = if (rng.nextDouble() < 0.2) 4 else 3
@@ -228,6 +239,13 @@ object SyntheticCorpus {
         val a = group(0); val b = group(5)
         aliasRows += AliasRow(s"Ambigon$g", a.name, a.qid, a.typ, 0.55, "de")
         aliasRows += AliasRow(s"Ambigon$g", b.name, b.qid, b.typ, 0.45, "de")
+      }
+      // equal-prior homonym pair: anchor prior and coherence cannot
+      // separate these — only the context TF-IDF cosine (L14) can
+      if (group.size >= 7) {
+        val a = group(1); val b = group(6)
+        aliasRows += AliasRow(s"Homonym$g", a.name, a.qid, a.typ, 0.5, "de")
+        aliasRows += AliasRow(s"Homonym$g", b.name, b.qid, b.typ, 0.5, "de")
       }
     }
 
@@ -287,7 +305,9 @@ object SyntheticCorpus {
       WdEntityRow(
         qid = e.qid,
         labels = Map("de" -> e.name, "en" -> e.name),
-        descriptions = Map("de" -> s"${e.typ} aus dem Korpus", "en" -> s"a ${e.typ}"),
+        descriptions = Map(
+          "de" -> s"${e.typ} aus dem Korpus Markwort${e.idx}",
+          "en" -> s"a ${e.typ}"),
         aliases = Map("de" -> Seq(e.name.toLowerCase(java.util.Locale.ROOT))),
         instance_of = Seq(typeQid(e.typ)),
         subclass_of = Nil,

@@ -11,6 +11,8 @@ class MentionScoringSpec extends AnyFunSuite {
   private val gaz = KgExtract.buildGazetteer(corpus.aliases)
   private val partOf = corpus.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap
   private val ents = corpus.entities
+  private val descs = corpus.wdEntities.map(w => w.qid -> w.descriptions.getOrElse("de", "")).toMap
+  private val gazTfidf = KgExtract.buildGazetteer(corpus.aliases, descs)
 
   test("prior wins without context; coherence flips with context") {
     val a = ents(0) // group head {0..4}, Ambigon0 prior 0.55
@@ -39,6 +41,59 @@ class MentionScoringSpec extends AnyFunSuite {
           .map(m => (m.surface, m.canonical, m.start, m.end)).toSet
         assert(pipe == orc, s"disagreement on: $text")
       }
+  }
+
+  test("tf-idf context cosine decides equal-prior homonyms (L14 north_star)") {
+    val a = ents(1) // Homonym0 candidate, prior 0.5
+    val b = ents(6) // Homonym0 candidate, prior 0.5
+    assert(a.name < b.name, "fixture assumes a sorts first")
+
+    // no context at all: exact tie → canonical asc → a
+    val tie = KgExtract.rawMentions("Homonym0 bleibt offen.", gazTfidf, partOf)
+    assert(tie.exists(m => m.surface == "Homonym0" && m.canonical == a.name))
+
+    // marker token of b's description in the doc: only tf-idf can flip
+    val flip = KgExtract.rawMentions(
+      s"Homonym0 bleibt offen. Die Quelle nennt Markwort${b.idx} ausdrücklich.",
+      gazTfidf, partOf)
+    val m = flip.find(_.surface == "Homonym0").get
+    assert(m.canonical == b.name,
+      s"expected tf-idf flip to ${b.name}, got ${m.canonical}")
+
+    // marker of a keeps a (and beats the tie-break explicitly)
+    val keep = KgExtract.rawMentions(
+      s"Homonym0 bleibt offen. Die Quelle nennt Markwort${a.idx} ausdrücklich.",
+      gazTfidf, partOf)
+    assert(keep.find(_.surface == "Homonym0").get.canonical == a.name)
+  }
+
+  test("oracle agrees with the pipeline on tf-idf scoring") {
+    val b = ents(6)
+    Seq(
+      "Homonym0 bleibt offen.",
+      s"Homonym0 bleibt offen. Die Quelle nennt Markwort${b.idx} ausdrücklich.",
+      s"Homonym0 und Markwort1 sowie Markwort6 zugleich." // dual markers → tie path
+    ).foreach { text =>
+      val pipe = KgExtract.rawMentions(text, gazTfidf, partOf)
+        .map(m => (m.surface, m.canonical, m.start, m.end)).toSet
+      val orc = Oracle.scan(text, corpus.aliases, partOf, descs)
+        .map(m => (m.surface, m.canonical, m.start, m.end)).toSet
+      assert(pipe == orc, s"disagreement on: $text")
+    }
+  }
+
+  test("tf-idf path fires in the generated corpus (non-degenerate)") {
+    val c = SyntheticCorpus.generate(nPages = 300, seed = 42L)
+    val homTexts = c.pages.filter(_.text.contains("Homonym"))
+    assert(homTexts.nonEmpty, "corpus generates homonym surfaces")
+    // the cosine term must CHANGE at least one resolution vs a gazetteer
+    // without description vectors (priors and coherence held equal)
+    val differs = homTexts.exists { p =>
+      val without = KgExtract.rawMentions(p.text, gaz, partOf).map(m => (m.start, m.canonical))
+      val withVec = KgExtract.rawMentions(p.text, gazTfidf, partOf).map(m => (m.start, m.canonical))
+      without != withVec
+    }
+    assert(differs, "tf-idf never changed an outcome — scoring path untested")
   }
 
   test("coherence path fires in the generated corpus (non-degenerate)") {
