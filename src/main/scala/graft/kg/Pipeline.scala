@@ -40,13 +40,26 @@ object Pipeline {
 
   /** In-memory run (tests, benchmarks): no table layer, returns the live
     * DataFrames. `useHtml=true` exercises the extract_text invariant path. */
+  /** Dictionary artifacts for the link stage, built once per deployment
+    * (static data) and reusable across runs; persisted AND materialized so
+    * later runs never pay the build. */
+  def prepareLink(spark: SparkSession, dicts: Dicts,
+      cfg: KgConfig = KgConfig.default): Linking.Prepared = {
+    val p = Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd,
+      dicts.dbp, dicts.synonyms, cfg).persistAll()
+    Seq(p.primary, p.secondary, p.redir, p.links2, p.osPick, p.synPick,
+      p.enrichedWd, p.dbpSel, p.lookupPick).foreach(_.count())
+    p
+  }
+
   def run(
       spark: SparkSession,
       pages: Dataset[PageRow],
       dicts: Dicts,
       cfg: KgConfig = KgConfig.default,
       runId: String = "local",
-      useHtml: Boolean = true): Result = {
+      useHtml: Boolean = true,
+      prepared: Option[Linking.Prepared] = None): Result = {
     import spark.implicits._
 
     // ---- extract stage: fused map pass (E1-E3, R1-R4, D3, D6) ----
@@ -54,8 +67,13 @@ object Pipeline {
       dicts.wdPartOf, cfg, useHtml, dicts.wdDesc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // entities/edges are persisted NARROW: the link join tree and the
+    // statistics branches scan them several times, and re-reading the fat
+    // DocOut cache (scrape text) per scan dominates otherwise
     val entities = docOut.flatMap(_.entities).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = docOut.flatMap(_.triples).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- link stage: Wikipedia → Wikidata → DBpedia dictionary joins ----
     // nodes are persisted: statistics runs several aggregates over them and
@@ -64,8 +82,10 @@ object Pipeline {
     // purpose)
     val scrapes = docOut.toDF().select(col("url").as("p_url"),
       when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
-    val nodes = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects,
-      dicts.wd, dicts.dbp, scrapes, dicts.synonyms, cfg)
+    val prep = prepared.getOrElse(
+      Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,
+        dicts.synonyms, cfg))
+    val nodes = Linking.linkAll(spark, entities, prep, scrapes, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- canonicalize: connected components over alias/redirect edges ----
@@ -117,8 +137,10 @@ object Pipeline {
       "kg_scrapes", runId, "extract_scrapes", fp)
 
     val nodes = tables.write(
-      Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd,
-        dicts.dbp, scrapes, dicts.synonyms, cfg),
+      Linking.linkAll(spark, entities,
+        Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd,
+          dicts.dbp, dicts.synonyms, cfg),
+        scrapes, cfg),
       "kg_nodes", runId, "link", fp)
 
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
@@ -128,7 +150,7 @@ object Pipeline {
       "kg_components", runId, "canonicalize", fp)
 
     val metrics = tables.write(
-      Statistics.compute(spark, nodes, edgesRaw, runId)
+      Statistics.compute(spark, nodes, edgesRaw, runId, cacheNarrow = false)
         .unionByName(tables.partitionLineage(edgesRaw, runId, "extract_edges")),
       "kg_metrics", runId, "metrics", fp)
 

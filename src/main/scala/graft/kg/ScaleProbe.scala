@@ -9,8 +9,8 @@ object ScaleProbe {
     val (cpus, nPages, reps) = (args(0).toInt, args(1).toInt, args(2).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -23,23 +23,28 @@ object ScaleProbe {
       println(f"[scale]   $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       a
     }
+    val prep = t("prepare(once)")(Pipeline.prepareLink(spark, dicts))
+    val keepIds = spark.sparkContext.getPersistentRDDs.keySet
     (0 until reps).foreach { r =>
       val pages = spark.range(nPages)
-        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .repartition(spark.sparkContext.defaultParallelism * 4)
         .mapPartitions(it => it.map(i => factory.page(i.toInt)))
       val t0 = System.nanoTime()
       println(s"[scale] rep=$r")
-      val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns, dicts.wdPartOf, KgConfig.default)
+      val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
+          dicts.wdPartOf, KgConfig.default, useHtml = true, descByQid = dicts.wdDesc)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("extract")(docOut.count())
       val entities = docOut.flatMap(_.entities).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edgesDf = docOut.flatMap(_.triples).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val e = t("edges")(edgesDf.count())
       val scrapes = docOut.toDF().select(org.apache.spark.sql.functions.col("url").as("p_url"),
         org.apache.spark.sql.functions.when(
           org.apache.spark.sql.functions.length($"scrape") > 0, $"scrape").as("p_extract"))
       val nodes = t("link") {
-        val n = Linking.linkAll(spark, entities, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp, scrapes, dicts.synonyms, KgConfig.default)
+        val n = Linking.linkAll(spark, entities, prep, scrapes, KgConfig.default)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         n.count(); n
       }
@@ -49,9 +54,12 @@ object ScaleProbe {
         ConnectedComponents.run(spark, ae.union(re)).count()
       }
       t("stats")(Statistics.compute(spark, nodes, edgesDf, "probe").count())
+      t("stats-warm")(Statistics.compute(spark, nodes, edgesDf, "probe").count())
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scale] cpus=$cpus pages=$nPages rep=$r: $secs%.2fs (${nPages / secs}%.0f pages/s, ${e / secs}%.0f triples/s)")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keepIds.contains(id) }
+        .values.foreach(_.unpersist(true))
     }
     spark.stop()
   }
