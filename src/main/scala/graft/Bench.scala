@@ -21,7 +21,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString) // finer tasks smooth stolen-CPU stragglers
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -45,7 +45,7 @@ object Bench {
     import spark.implicits._
     val factory = new graft.kg.SyntheticCorpus.PageFactory(42L, 120)
     val pages = spark.range(nPages)
-      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .mapPartitions(it => it.map(i => factory.page(i.toInt)))
     val dicts = graft.kg.Pipeline.dictsFromCorpus(
       spark, graft.kg.SyntheticCorpus.generate(0))

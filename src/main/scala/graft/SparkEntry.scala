@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ops.SimilarityOps.queries ++
       graft.ops.GraphOps.queries ++
       graft.ops.MentionOps.queries ++
+      graft.ops.LinkOps.queries ++
       graft.ops.MultimodalOps.queries ++
       graft.ops.UrlOps.queries ++
       graft.ops.CategoryOps.queries
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.ops.SimilarityOps.oracles ++
       graft.ops.GraphOps.oracles ++
       graft.ops.MentionOps.oracles ++
+      graft.ops.LinkOps.oracles ++
       graft.ops.MultimodalOps.oracles ++
       graft.ops.UrlOps.oracles ++
       graft.ops.CategoryOps.oracles

@@ -14,7 +14,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    val _ = new java.io.File(outDir).mkdirs()
+    // Golden oracle for kg_pipeline_triples: the INDEPENDENT single-threaded
+    // Scala oracle's triples (graft.kg.Oracle — naive algorithms, no shared
+    // code with the pipeline) dumped as parquet; the driver's DuckDB oracle
+    // SQL reads this file, upgrading the flagship KG query from rows-only
+    // to a full hash compare.
+    locally {
+      import graft.kg.{KgConfig, Oracle, SyntheticCorpus}
+      val corpus = SyntheticCorpus.generate(nPages = 100, seed = 42L)
+      val golden = corpus.pages.flatMap { p =>
+        Oracle.processDoc(p, corpus.aliases, corpus.patterns,
+          corpus.wdEntities, KgConfig.default)._2
+          .map(t => (p.url, t.subject, t.predicate, t.obj, t.inferred))
+      }
+      import spark.implicits._
+      golden.toDF("url", "subject", "predicate", "object", "inferred")
+        .coalesce(1).write.mode("overwrite")
+        .parquet("/root/repo/golden/kg_pipeline_triples")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

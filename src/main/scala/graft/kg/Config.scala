@@ -18,6 +18,11 @@ final case class KgConfig(
     mode: String = "extract",           // settings.py MODE (extract|generate)
     relationExtraction: Boolean = true, // settings.py RELATION_EXTRACTION
     enableEntityInference: Boolean = true, // implicit relations stage (R2)
+    // P12 — settings.py:31 ALLOWED_ENTITY_TYPES ("auto" = None = no filter)
+    allowedEntityTypes: Option[Set[String]] = None,
+    // E4 — entity_inference.py:28-154 standalone implicit-entity stage
+    // (reference default: ENABLE_ENTITY_INFERENCE=False)
+    inferEntities: Boolean = false,
     tfidfWeight: Double = 0.3,          // L14 context-cosine weight (north_star scoring)
     nSalt: Int = 8,                     // skew salting factor for dictionary joins
     // dictJoin gate: dictionaries estimated under this take the broadcast

@@ -64,11 +64,19 @@ object DocProcess extends Serializable {
       mentions: Seq[RawMention],
       patternsByLang: Map[String, Map[String, PatternRow]],
       partOf: Map[String, Set[String]], // qid -> part_of target qids
-      cfg: KgConfig): (Vector[EntityRow], Vector[TripleRow]) = {
+      cfg: KgConfig,
+      qidInfo: Map[String, (String, String)] = Map.empty // qid -> (canonical, typ), for E4
+      ): (Vector[EntityRow], Vector[TripleRow]) = {
+
+    // ---- P12: entity-type restriction (settings.py:31 + prompt_utils.py
+    // apply_type_restrictions — the LLM never emits disallowed types, so
+    // here disallowed mentions are dropped before dedup/caps) ----
+    val allowed = mentions.filter(m =>
+      cfg.allowedEntityTypes.forall(_.contains(m.typ)))
 
     // ---- E2: dedup by lowercase canonical, first occurrence wins ----
     val groups = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[RawMention]]
-    mentions.sortBy(m => (m.start, m.end)).foreach { m =>
+    allowed.sortBy(m => (m.start, m.end)).foreach { m =>
       groups.getOrElseUpdate(m.canonical.toLowerCase(java.util.Locale.ROOT),
         mutable.ArrayBuffer.empty) += m
     }
@@ -77,10 +85,34 @@ object DocProcess extends Serializable {
       .map { ms => (ms.head, ms.length) }
       .sortBy { case (first, freq) => (-freq, first.start, first.canonical) }
       .take(cfg.maxEntities)
-    val entities = capped.map { case (m, freq) =>
+    val explicitEntities = capped.map { case (m, freq) =>
       EntityRow(url, lang, TextUtils.entityId(url, m.canonical), m.canonical,
         m.qid, m.typ, m.surface, m.start, m.end, "explicit", freq)
     }
+
+    // ---- E4: standalone implicit-entity stage (entity_inference.py:28-154;
+    // deterministic LLM stand-in: entities IMPLIED by the KB — the part_of
+    // heads of explicit entities). Merge rule :150-154: explicit overrides
+    // implicit on the (name, type) key. P12 applies to inferred types too.
+    val entities: Vector[EntityRow] =
+      if (!cfg.inferEntities) explicitEntities
+      else {
+        val have = explicitEntities
+          .map(e => (TextUtils.normName(e.entity), e.entity_type)).toSet
+        val implied = explicitEntities
+          .flatMap(e => partOf.getOrElse(e.qid, Set.empty[String]).toSeq.sorted
+            .map(hq => (hq, e.citation)))
+          .flatMap { case (hq, via) => qidInfo.get(hq).map { case (n, t) => (hq, n, t, via) } }
+          .filter { case (_, _, t, _) => cfg.allowedEntityTypes.forall(_.contains(t)) }
+          .filter { case (_, n, t, _) => !have.contains((TextUtils.normName(n), t)) }
+          .distinctBy { case (_, n, t, _) => (TextUtils.normName(n), t) }
+          .take(cfg.maxEntities)
+          .map { case (hq, n, t, via) =>
+            EntityRow(url, lang, TextUtils.entityId(url, n), n, hq, t,
+              via, -1, -1, "implicit", 0)
+          }
+        explicitEntities ++ implied
+      }
     val byNorm: Map[String, EntityRow] =
       entities.map(e => TextUtils.normName(e.entity) -> e).reverse.toMap
 
@@ -89,7 +121,8 @@ object DocProcess extends Serializable {
     // ---- R1: explicit SVO per sentence ----
     val pats = patternsByLang.getOrElse(lang, patternsByLang.getOrElse("de", Map.empty))
     val sents = sentences(text)
-    val sorted = mentions.sortBy(_.start).toVector
+    // P12: disallowed mentions are invisible to pairing too
+    val sorted = allowed.sortBy(_.start).toVector
     val rawTriples = Vector.newBuilder[TripleRow]
     sents.zipWithIndex.foreach { case ((ss, se), si) =>
       val inSent = sorted.filter(m => m.start >= ss && m.end <= se)

@@ -23,6 +23,22 @@ object KgExtract {
   final case class DocOut(url: String, scrape: String,
       entities: Seq[EntityRow], triples: Seq[TripleRow])
 
+  /** A10 runtime counters (wikipedia/service.py:786-931 batch stats): the
+    * Spark-native form of the reference's per-service counters — named
+    * accumulators, visible in the UI/history server per stage. */
+  final case class Counters(
+      pages: org.apache.spark.util.LongAccumulator,
+      mentions: org.apache.spark.util.LongAccumulator,
+      entities: org.apache.spark.util.LongAccumulator,
+      triples: org.apache.spark.util.LongAccumulator)
+  object Counters {
+    def apply(spark: SparkSession): Counters = Counters(
+      spark.sparkContext.longAccumulator("kg.pages_processed"),
+      spark.sparkContext.longAccumulator("kg.mentions_total"),
+      spark.sparkContext.longAccumulator("kg.entities_emitted"),
+      spark.sparkContext.longAccumulator("kg.triples_emitted"))
+  }
+
   /** Broadcastable gazetteer: automaton + per-pattern candidate lists +
     * the L14 TF-IDF disambiguation tables (candidate description vectors,
     * L2-normalized, and the description-corpus IDF map). The vectors exist
@@ -146,7 +162,8 @@ object KgExtract {
       wdPartOf: Map[String, Set[String]],
       cfg: KgConfig,
       useHtml: Boolean = true,
-      descByQid: Map[String, String] = Map.empty): Dataset[DocOut] = {
+      descByQid: Map[String, String] = Map.empty,
+      counters: Option[Counters] = None): Dataset[DocOut] = {
     import spark.implicits._
     val bcGaz: Broadcast[Gazetteer] =
       spark.sparkContext.broadcast(buildGazetteer(aliases, descByQid))
@@ -154,16 +171,28 @@ object KgExtract {
       patterns.groupBy(_.lang).map { case (l, ps) => l -> ps.map(p => p.middle -> p).toMap })
     val bcPartOf = spark.sparkContext.broadcast(wdPartOf)
     val bcCfg = spark.sparkContext.broadcast(cfg)
+    // qid -> (canonical, type) for the E4 implied-entity stage
+    val bcQidInfo = spark.sparkContext.broadcast(
+      aliases.groupBy(_.qid).map { case (q, as) =>
+        val a = as.minBy(_.canonical); q -> (a.canonical, a.entity_type)
+      })
+    val cnt = counters.getOrElse(Counters(spark))
 
     pages.mapPartitions { it =>
       val gaz = bcGaz.value
       val pats = bcPats.value
       val partOf = bcPartOf.value
       val c = bcCfg.value
+      val qidInfo = bcQidInfo.value
       it.map { p =>
         val text = if (useHtml) TextExtract.extractText(p.html) else p.text
         val ms = rawMentions(text, gaz, partOf, c.tfidfWeight)
-        val (ents, trips) = DocProcess.process(p.url, text, p.lang, ms, pats, partOf, c)
+        val (ents, trips) = DocProcess.process(p.url, text, p.lang, ms, pats,
+          partOf, c, qidInfo)
+        cnt.pages.add(1)
+        cnt.mentions.add(ms.size)
+        cnt.entities.add(ents.size)
+        cnt.triples.add(trips.size)
         DocOut(p.url, text.take(1200), ents, trips)
       }
     }

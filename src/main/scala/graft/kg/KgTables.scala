@@ -52,6 +52,42 @@ final class KgTables(spark: SparkSession, root: String) {
     read(name)
   }
 
+  /** S8 training-data JSONL sink (services/openai_service.py:356-435):
+    * one OpenAI-chat-format example per document — system prompt, user
+    * prompt embedding the document text, assistant content as the
+    * reference's semicolon-separated entity lines
+    * (name_de; name_en; type; wikipedia_url_de; wikipedia_url_en; citation).
+    * `spark.write.json` emits JSONL natively; entity lines are sorted for
+    * deterministic output. */
+  def writeTrainingJsonl(nodes: DataFrame, texts: DataFrame, name: String,
+      lang: String = "de"): Unit = {
+    val sysPrompt =
+      if (lang == "en")
+        "You are a helpful AI system for recognizing and linking entities. Your task is to identify the most important entities from a given text and link them to their Wikipedia pages."
+      else
+        "Du bist ein hilfreiches KI-System zur Erkennung und Verknüpfung von Entitäten. Deine Aufgabe ist es, die wichtigsten Entitäten aus einem gegebenen Text zu identifizieren und mit ihren Wikipedia-Seiten zu verknüpfen."
+    val lines = nodes.select(col("url"),
+      concat_ws("; ",
+        coalesce(col("entity"), lit("")),
+        coalesce(element_at(col("sources.wikidata.labels"), "en"), lit("")),
+        coalesce(col("details.typ"), lit("")),
+        coalesce(col("sources.wikipedia.url"), lit("")),
+        coalesce(col("sources.wikipedia.url_alt"), lit("")),
+        coalesce(col("details.citation"), lit(""))).as("line"))
+      .groupBy("url")
+      .agg(array_join(array_sort(collect_list(col("line"))), "\n").as("assistant"))
+    lines
+      .join(texts.select(col("p_url"), col("p_extract")),
+        col("url") === col("p_url"), "left")
+      .select(array(
+        struct(lit("system").as("role"), lit(sysPrompt).as("content")),
+        struct(lit("user").as("role"),
+          concat(lit("Identify the main entities in the following text as semicolon-separated lines: name_de; name_en; type; wikipedia_url_de; wikipedia_url_en; citation. Text: "),
+            coalesce(col("p_extract"), lit(""))).as("content")),
+        struct(lit("assistant").as("role"), col("assistant").as("content"))).as("messages"))
+      .write.mode("overwrite").json(path(name))
+  }
+
   /** Per-partition lineage rows (north_rule): partition id → row count for a
     * written table, recorded into the metrics table. */
   def partitionLineage(df: DataFrame, runId: String, stage: String): DataFrame = {

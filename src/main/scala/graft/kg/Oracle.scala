@@ -109,7 +109,10 @@ object Oracle {
     val text = page.text
     val partOfAll = wd.map(w => w.qid -> w.part_of.toSet).toMap
     val descs = wd.map(w => w.qid -> w.descriptions.getOrElse("de", "")).toMap
+    // P12: type restriction drops disallowed mentions entirely (invisible
+    // to dedup AND pairing)
     val ms = scan(text, aliases, partOfAll, descs, cfg.tfidfWeight)
+      .filter(m => cfg.allowedEntityTypes.forall(_.contains(m.typ)))
 
     // dedup by lowercase name, first wins; count frequency
     val order = mutable.ArrayBuffer.empty[String]
@@ -124,8 +127,32 @@ object Oracle {
       .sortBy(k => (-freq(k), firstM(k).start, firstM(k).canonical))
       .take(cfg.maxEntities)
       .map(k => firstM(k))
-    val entitySet = capped.map(m => TextUtils.normName(m.canonical)).toSet
-    val entOf = capped.map(m => TextUtils.normName(m.canonical) -> m).toMap
+    // E4: implied entities (part_of heads of explicit ones), explicit
+    // overrides implicit on (normName, type) — entity_inference.py:150-154
+    val implied: Vector[OMention] =
+      if (!cfg.inferEntities) Vector.empty
+      else {
+        val qidInfo = aliases.groupBy(_.qid).map { case (q, as) =>
+          val a = as.minBy(_.canonical); q -> (a.canonical, a.entity_type)
+        }
+        val have = capped.map(m => (TextUtils.normName(m.canonical), m.typ)).toSet
+        capped
+          .flatMap(m => partOfAll.getOrElse(m.qid, Set.empty[String]).toSeq.sorted
+            .map(hq => (hq, m.surface)))
+          .flatMap { case (hq, via) => qidInfo.get(hq).map { case (n, t) => (hq, n, t, via) } }
+          .filter { case (_, _, t, _) => cfg.allowedEntityTypes.forall(_.contains(t)) }
+          .filter { case (_, n, t, _) => !have.contains((TextUtils.normName(n), t)) }
+          .distinctBy { case (_, n, t, _) => (TextUtils.normName(n), t) }
+          .take(cfg.maxEntities)
+          .map { case (hq, n, t, via) => OMention(via, n, hq, t, -1, -1, 0.0) }
+      }
+    val entAll = capped ++ implied
+    val entitySet = entAll.map(m => TextUtils.normName(m.canonical)).toSet
+    // first occurrence wins (explicit before implied)
+    val entOf = entAll.foldLeft(Map.empty[String, OMention]) { (acc, m) =>
+      val k = TextUtils.normName(m.canonical)
+      if (acc.contains(k)) acc else acc + (k -> m)
+    }
 
     // sentence split (same spec as the pipeline: end after [.!?]+ws/EOT)
     val sentBounds = mutable.ArrayBuffer.empty[(Int, Int)]
@@ -169,7 +196,7 @@ object Oracle {
     val pred = if (page.lang == "en") "is part of" else "ist teil von"
     val implicits = mutable.ArrayBuffer.empty[OTriple]
     if (cfg.enableEntityInference) {
-      val sortedEnts = capped.sortBy(_.canonical)
+      val sortedEnts = entAll.sortBy(_.canonical)
       for (a <- sortedEnts; b <- sortedEnts if a.canonical != b.canonical) {
         if (implicits.length < cfg.implicitRelLimit &&
             partOfMap.getOrElse(a.qid, Set.empty).contains(b.qid) &&
@@ -208,7 +235,7 @@ object Oracle {
       }
     } else fin ++= ordered
 
-    (capped.map(m => (m.canonical, m.typ)), fin.toVector)
+    (entAll.map(m => (m.canonical, m.typ)), fin.toVector)
   }
 
   /** Corpus-level expected triples: set of (subject, predicate, object). */

@@ -9,7 +9,7 @@ object ScaleProbe {
     val (cpus, nPages, reps) = (args(0).toInt, args(1).toInt, args(2).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,7 +27,7 @@ object ScaleProbe {
     val keepIds = spark.sparkContext.getPersistentRDDs.keySet
     (0 until reps).foreach { r =>
       val pages = spark.range(nPages)
-        .repartition(spark.sparkContext.defaultParallelism * 4)
+        .repartition(spark.sparkContext.defaultParallelism * 2)
         .mapPartitions(it => it.map(i => factory.page(i.toInt)))
       val t0 = System.nanoTime()
       println(s"[scale] rep=$r")

@@ -33,6 +33,8 @@ object Statistics {
       col("sources.wikipedia.status").as("wp_status"),
       col("sources.wikidata.status").as("wd_status"),
       col("sources.dbpedia.status").as("dbp_status"),
+      col("sources.wikipedia.fallback_source").as("wp_fallback"),
+      col("sources.dbpedia.fallback_source").as("dbp_fb"),
       col("sources.wikipedia.categories").as("categories"),
       col("sources.wikipedia.internal_links").as("internal_links"),
       col("sources.wikidata.instance_of.label").as("inst_labels"))
@@ -85,6 +87,20 @@ object Statistics {
       .select(row(col("metric"), col("key"), col("value")).as("m"))
       .select("m.*")
 
+    // A10 service batch stats (wikipedia/service.py:786-931): per-stage
+    // fallback usage — which resolution path served each entity ("none" =
+    // direct hit / unresolved; the reference's per-service counters)
+    val wpFallbackDist = nodes
+      .groupBy(coalesce(col("wp_fallback"), lit("none")).as("key"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(row(lit("wikipedia_fallback_dist"), col("key"), col("value")).as("m"))
+      .select("m.*")
+    val dbpFallbackDist = nodes
+      .groupBy(coalesce(col("dbp_fb"), lit("none")).as("key"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(row(lit("dbpedia_fallback_dist"), col("key"), col("value")).as("m"))
+      .select("m.*")
+
     // A1 (edges) total
     val relTotal = edges.agg(count(lit(1)).cast("double").as("c"))
       .select(row(lit("total"), lit("relationships"), col("c")).as("m"))
@@ -115,7 +131,8 @@ object Statistics {
       .select(row(lit("entity_connections"), col("key"), col("value")).as("m"))
       .select("m.*")
 
-    Seq(linked, typesDist, topAll, relTotal, topPreds, infRows, conns)
+    Seq(linked, typesDist, topAll, wpFallbackDist, dbpFallbackDist,
+        relTotal, topPreds, infRows, conns)
       .reduce(_.unionByName(_))
       .select(lit(runId).as("run_id"), lit("stats").as("stage"),
         col("metric"), col("key"), col("value"))

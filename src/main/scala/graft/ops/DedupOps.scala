@@ -58,10 +58,8 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH: 8 md5 min-hashes, 4 bands × 2 rows, bucket self-join.
-    * Emits candidate pairs with the number of colliding bands — the
-    * linear-scale near-dup path (shuffle = one groupBy on (band, bucket)). */
-  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** MinHash signature → (band, bucket) rows: the shared LSH layout. */
+  private def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val sig = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), expr(shingleExpr).as("shs"))
@@ -69,17 +67,46 @@ object DedupOps {
         """transform(sequence(0, 7),
              k -> array_min(transform(shs, s -> md5(concat(cast(k as string), '|', s)))))""")
         .as("sig"))
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         md5(concat(expr("element_at(sig, 2 * band + 1)"),
                    expr("element_at(sig, 2 * band + 2)"))).as("bucket"))
+  }
+
+  /** MinHash + LSH: 8 md5 min-hashes, 4 bands × 2 rows, bucket self-join.
+    * Emits candidate pairs with the number of colliding bands — the
+    * linear-scale near-dup path (shuffle = one groupBy on (band, bucket)). */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(spark, dir)
     val a = buckets.toDF("doc_a", "band", "bucket")
     val b = buckets.toDF("doc_b", "band2", "bucket2")
     a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") &&
         col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental dedup: a fresh increment (doc_id%5==0 stands in for the
+    * new crawl batch) deduped AGAINST THE EXISTING CORPUS via an LSH
+    * band-bucket semi-join — never all-pairs, and the existing side is
+    * touched only through its (band, bucket) index. This is the cross-run
+    * shape: at 100 TB the bucket index of the accumulated corpus is a
+    * materialized table and each increment joins against it. */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(spark, dir)
+    val newB = buckets.filter(col("doc_id") % 5 === 0)
+    val oldB = buckets.filter(col("doc_id") % 5 =!= 0)
+      .select(col("band").as("band2"), col("bucket").as("bucket2")).distinct()
+    val hits = newB.join(oldB,
+        col("band") === col("band2") && col("bucket") === col("bucket2"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_bands"))
+    newB.select("doc_id").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        when(coalesce(col("n_hit_bands"), lit(0L)) > 0, "dup").otherwise("novel").as("status"))
+      .orderBy("doc_id")
   }
 
   /** SimHash: 32-bit signature; bit j is the sign of the count-weighted sum
@@ -124,6 +151,7 @@ object DedupOps {
     "dd_exact"         -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh"   -> ddMinhashLsh _,
+    "dd_incremental"   -> ddIncremental _,
     "dd_simhash"       -> ddSimhash _,
     "dd_embed_cos"     -> ddEmbedCos _)
 
@@ -158,6 +186,23 @@ object DedupOps {
          FROM buckets a JOIN buckets b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dd_incremental" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, $shingleSql AS shs FROM d),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+                   k -> list_min(list_transform(shs, s -> md5(k::VARCHAR || '|' || s)))) AS sig FROM sh),
+         bands AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig),
+         buckets AS (SELECT doc_id, band, md5(sig[2 * band + 1] || sig[2 * band + 2]) AS bucket FROM bands),
+         newb AS (SELECT * FROM buckets WHERE doc_id % 5 = 0),
+         oldb AS (SELECT DISTINCT band, bucket FROM buckets WHERE doc_id % 5 <> 0),
+         hits AS (SELECT n.doc_id, count(*) AS n_hit_bands FROM newb n
+                  WHERE EXISTS (SELECT 1 FROM oldb o
+                                WHERE o.band = n.band AND o.bucket = n.bucket)
+                  GROUP BY n.doc_id)
+         SELECT d.doc_id, coalesce(h.n_hit_bands, 0) AS n_hit_bands,
+                CASE WHEN coalesce(h.n_hit_bands, 0) > 0 THEN 'dup' ELSE 'novel' END AS status
+         FROM (SELECT DISTINCT doc_id FROM newb) d LEFT JOIN hits h USING (doc_id)
+         ORDER BY doc_id""",
     "dd_simhash" ->
       """WITH w AS (SELECT doc_id, wd, count(*) AS c FROM
              (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents) z

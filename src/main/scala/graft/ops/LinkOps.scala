@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables.t
+import graft.kg._
+
+/** Driver-oracled linking queries: the REAL production link chain
+  * (Linking.linkAll — L1 redirect+dict, L2 language fallback + P13 url_alt
+  * demotion, L3 opensearch prefix pick, L4 synonym, L5 scrape, P14 status,
+  * Wikidata enrichment, L13 strict DBpedia + S6 Lookup fallback) run over
+  * the driver `documents` table with a hand-built dictionary fixture whose
+  * per-term outcome is independently derivable — the DuckDB oracle states
+  * the expected outcome per (term, document) directly, so every L-stage
+  * gets a green driver row (VERDICT r1 gap #2/#3).
+  *
+  * Fixture design (one term per stage):
+  *   customer → L1 direct hit           filter → L1 via redirect
+  *   join     → L2 en fallback (url demoted to url_alt, P13)
+  *   merge    → L3 opensearch ("merge sort" prefix)
+  *   window   → L3 rank order ("window manager" beats "window function")
+  *   spark    → L4 synonym (rank-1 synonym has no page, rank-2 wins)
+  *   table    → short primary extract → L5 scrape (doc text ≥ 100 chars)
+  *   stream   → no dictionary entry   → L5 scrape or not_found
+  * DBpedia:    customer strict-linked; filter S6 lookup (disambiguated
+  *             resource name); join abstract-less → not_found.
+  */
+object LinkOps {
+
+  private val LongDe = "x" * 120
+  private val LongEn = "y" * 120
+
+  private def deUrl(title: String) =
+    s"https://de.wikipedia.org/wiki/${title.replace(' ', '_')}"
+  private def enUrl(title: String) =
+    s"https://en.wikipedia.org/wiki/${title.replace(' ', '_')}"
+
+  private val qidOf: Map[String, String] = Map(
+    "customer" -> "Q1", "filter" -> "Q2", "join" -> "Q3", "merge" -> "Q4",
+    "spark" -> "Q5", "stream" -> "Q6", "table" -> "Q7", "window" -> "Q8")
+
+  private val wikiFixture: Seq[WikiPageRow] = Seq(
+    WikiPageRow("customer", "de", deUrl("customer"), LongDe,
+      Seq("Kategorie:Begriff"), Seq("filter"), "Q1", Map.empty, null),
+    WikiPageRow("filtern", "de", deUrl("filtern"), LongDe, Nil, Nil, "Q2", Map.empty, null),
+    WikiPageRow("join", "de", deUrl("join"), "kurz", Nil, Nil, "Q3", Map.empty, null),
+    WikiPageRow("join (en)", "en", enUrl("join"), LongEn, Nil, Nil, "Q3", Map.empty, null),
+    WikiPageRow("merge sort", "de", deUrl("merge sort"), LongDe, Nil, Nil, "Q4", Map.empty, null),
+    WikiPageRow("funke", "de", deUrl("funke"), LongDe, Nil, Nil, "Q5", Map.empty, null),
+    WikiPageRow("table", "de", deUrl("table"), "kurz", Nil, Nil, "Q7", Map.empty, null),
+    WikiPageRow("window manager", "de", deUrl("window manager"), LongDe, Nil, Nil, "Q8", Map.empty, null),
+    WikiPageRow("window function", "de", deUrl("window function"), LongDe, Nil, Nil, "Q8", Map.empty, null))
+
+  private val redirectFixture = Seq(RedirectRow("filter", "filtern", "de"))
+
+  private val synonymFixture = Seq(
+    SynonymRow("spark", "sparkle", 1), // no such page — must be skipped
+    SynonymRow("spark", "funke", 2))
+
+  private val wdFixture: Seq[WdEntityRow] =
+    qidOf.toSeq.sortBy(_._1).map { case (term, qid) =>
+      WdEntityRow(qid, Map("de" -> term, "en" -> term),
+        Map("de" -> s"Begriff $term"), Map.empty,
+        instance_of = if (term == "customer") Seq("Q100", "Q101") else Nil,
+        subclass_of = Nil,
+        part_of = if (term == "filter") Seq("Q101") else Nil,
+        has_part = Nil,
+        sitelinks = if (term == "join") Map("enwiki" -> "join (en)") else Map.empty)
+    } ++ Seq(
+      WdEntityRow("Q100", Map("de" -> "konzept100"), Map.empty, Map.empty,
+        Nil, Nil, Nil, Nil, Map.empty),
+      WdEntityRow("Q101", Map("de" -> "konzept101"), Map.empty, Map.empty,
+        Nil, Nil, Nil, Nil, Map.empty))
+
+  private val dbpFixture: Seq[DbpediaRow] = Seq(
+    DbpediaRow("http://dbpedia.org/resource/Customer", "customer",
+      "the customer abstract", Seq("dbo:Thing"), Seq("dbc:Things")),
+    DbpediaRow("http://dbpedia.org/resource/Filter_(signal)", "filter",
+      "the filter abstract", Nil, Nil),
+    DbpediaRow("http://dbpedia.org/resource/Join", "join", null, Nil, Nil))
+
+  /** The production link chain over documents-derived mentions. */
+  def kgLinkChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idUdf = udf((u: String, e: String) => TextUtils.entityId(u, e))
+    val entities = MentionOps.kgMentions(spark, dir)
+      .select(concat(lit("doc://"), col("doc_id")).as("url"),
+        lit("de").as("lang"), col("term").as("entity"), col("n"))
+      .withColumn("entity_id", idUdf(col("url"), col("entity")))
+      .withColumn("qid", element_at(
+        typedLit(qidOf), col("entity")))
+      .select(col("url"), col("lang"), col("entity_id"), col("entity"),
+        col("qid"), lit("Konzept").as("entity_type"), col("entity").as("citation"),
+        lit(0).as("citation_start"), lit(0).as("citation_end"),
+        lit("explicit").as("inferred"), col("n").cast("int").as("freq"))
+    val scrapes = t(spark, dir, "documents")
+      .select(concat(lit("doc://"), col("doc_id")).as("p_url"),
+        when(length(col("text")) > 0, col("text")).as("p_extract"))
+    val nodes = Linking.linkAll(spark, entities,
+      wikiFixture.toDF(), redirectFixture.toDF(), wdFixture.toDF(),
+      dbpFixture.toDF(), scrapes, synonymFixture.toDF(), KgConfig.default)
+    nodes.select(
+      col("url"), col("entity"),
+      col("sources.wikipedia.status").as("wp_status"),
+      col("sources.wikipedia.fallback_source").as("wp_fallback"),
+      col("sources.wikipedia.url").as("wp_url"),
+      col("sources.wikipedia.url_alt").as("wp_url_alt"),
+      col("sources.wikidata.status").as("wd_status"),
+      element_at(col("sources.wikidata.instance_of"), 1).getField("label").as("inst1"),
+      element_at(col("sources.wikidata.part_of"), 1).getField("label").as("part1"),
+      col("sources.dbpedia.status").as("dbp_status"),
+      col("sources.dbpedia.uri").as("dbp_uri"),
+      col("sources.dbpedia.fallback_source").as("dbp_fallback"))
+      .orderBy("url", "entity")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_link_chain" -> kgLinkChain _)
+
+  private val termList = MentionOps.Terms.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Independent expected-outcome oracle: per-term outcomes hand-derived
+    * from the fixture (documents only contribute the L5 text-length gate). */
+  val oracles: Map[String, String] = Map(
+    "kg_link_chain" ->
+      s"""WITH m AS (
+           SELECT doc_id, text, t AS term
+           FROM documents, (SELECT unnest($termList) AS t) z
+           WHERE len(regexp_extract_all(text, '\\b' || t || '\\b')) > 0)
+         SELECT
+           'doc://' || doc_id AS url,
+           term AS entity,
+           CASE WHEN term = 'stream' AND length(text) < 100 THEN 'not_found'
+                ELSE 'found' END AS wp_status,
+           CASE term
+             WHEN 'join' THEN 'en_wikipedia'
+             WHEN 'merge' THEN 'opensearch'
+             WHEN 'window' THEN 'opensearch'
+             WHEN 'spark' THEN 'synonym'
+             WHEN 'table' THEN CASE WHEN length(text) >= 100 THEN 'beautifulsoup' END
+             WHEN 'stream' THEN CASE WHEN length(text) >= 100 THEN 'beautifulsoup' END
+           END AS wp_fallback,
+           CASE term
+             WHEN 'customer' THEN 'https://de.wikipedia.org/wiki/customer'
+             WHEN 'filter' THEN 'https://de.wikipedia.org/wiki/filtern'
+             WHEN 'merge' THEN 'https://de.wikipedia.org/wiki/merge_sort'
+             WHEN 'spark' THEN 'https://de.wikipedia.org/wiki/funke'
+             WHEN 'table' THEN 'https://de.wikipedia.org/wiki/table'
+             WHEN 'window' THEN 'https://de.wikipedia.org/wiki/window_manager'
+           END AS wp_url,
+           CASE term WHEN 'join' THEN 'https://en.wikipedia.org/wiki/join' END AS wp_url_alt,
+           'found' AS wd_status,
+           CASE term WHEN 'customer' THEN 'konzept100' END AS inst1,
+           CASE term WHEN 'filter' THEN 'konzept101' END AS part1,
+           CASE term WHEN 'customer' THEN 'linked' WHEN 'filter' THEN 'linked'
+                ELSE 'not_found' END AS dbp_status,
+           CASE term
+             WHEN 'customer' THEN 'http://dbpedia.org/resource/Customer'
+             WHEN 'filter' THEN 'http://dbpedia.org/resource/Filter_(signal)'
+             ELSE 'http://dbpedia.org/resource/' || upper(substr(term, 1, 1)) || substr(term, 2)
+           END AS dbp_uri,
+           CASE term WHEN 'filter' THEN 'lookup_api' END AS dbp_fallback
+         FROM m ORDER BY url, entity""")
+}

@@ -49,8 +49,9 @@ object MentionOps {
   }
 
   /** Full KG pipeline on the deterministic synthetic corpus (FIXTURES.md):
-    * driver-visible rows-only smoke of extract→link→relate (the parity
-    * gate itself runs in ScalaTest against the independent oracle). */
+    * driver-visible extract→link→relate run, hash-compared against a golden
+    * parquet dumped by the INDEPENDENT Scala oracle (graft.kg.Oracle) in
+    * Verify — the driver's DuckDB oracle reads that file. */
   def kgPipelineTriples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = SyntheticCorpus.generate(nPages = 100, seed = 42L)
@@ -69,6 +70,11 @@ object MentionOps {
   private val termList = Terms.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // golden parquet written by graft.Verify from the independent oracle
+    "kg_pipeline_triples" ->
+      """SELECT url, subject, predicate, "object", inferred
+         FROM read_parquet('/root/repo/golden/kg_pipeline_triples/*.parquet')
+         ORDER BY url, subject, predicate, "object", inferred""",
     "kg_mentions" ->
       s"""SELECT doc_id, t AS term,
          CAST(len(regexp_extract_all(text, '\\b' || t || '\\b')) AS BIGINT) AS n
