@@ -106,8 +106,8 @@ object LinkOps {
       col("sources.wikipedia.url").as("wp_url"),
       col("sources.wikipedia.url_alt").as("wp_url_alt"),
       col("sources.wikidata.status").as("wd_status"),
-      element_at(col("sources.wikidata.instance_of"), 1).getField("label").as("inst1"),
-      element_at(col("sources.wikidata.part_of"), 1).getField("label").as("part1"),
+      expr("try_element_at(sources.wikidata.instance_of, 1).label").as("inst1"),
+      expr("try_element_at(sources.wikidata.part_of, 1).label").as("part1"),
       col("sources.dbpedia.status").as("dbp_status"),
       col("sources.dbpedia.uri").as("dbp_uri"),
       col("sources.dbpedia.fallback_source").as("dbp_fallback"))
