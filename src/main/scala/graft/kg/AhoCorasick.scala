@@ -8,20 +8,43 @@ import scala.collection.mutable
   *
   * Built once on the driver from the gazetteer, broadcast to executors,
   * scanned per partition (`mapPartitions`) so the build cost is amortized.
-  * Node storage is flat arrays (goto map per node, fail/output arrays) —
-  * compact enough to broadcast at 10^6 patterns; patterns are matched
-  * case-sensitively (the gazetteer carries the surface-form variants).
+  *
+  * Storage is FROZEN FLAT ARRAYS (SURVEY §7.6-4): per-node sorted edge
+  * slices in one (char[], int[]) pair addressed by an offset index, flat
+  * output lists, int fail/output links — no per-node boxed maps, so the
+  * 10^6-alias gazetteer fits the 8 GB driver/broadcast budget (~tens of
+  * bytes per trie node instead of a ~200-byte HashMap each). Goto lookup is
+  * a binary search within the node's edge slice; the per-character output
+  * walk follows precomputed OUTPUT LINKS (next emitting node on the fail
+  * chain) instead of the full fail chain.
   *
   * `find` returns word-boundary-checked, leftmost-longest, non-overlapping
   * matches — the deterministic mention semantics mirrored by the test
-  * oracle.
+  * oracle. Boundary parity with regex \b: '_' counts as a word character.
   */
 final class AhoCorasick private (
-    gotoMaps: Array[mutable.HashMap[Char, Int]],
+    edgeOffset: Array[Int],  // node -> [start, end) into edgeChar/edgeTarget
+    edgeChar: Array[Char],
+    edgeTarget: Array[Int],
     fail: Array[Int],
-    out: Array[List[Int]], // pattern ids terminating at node
+    outLink: Array[Int],     // next node on the fail chain with output (0 = none)
+    outOffset: Array[Int],   // node -> [start, end) into outPat
+    outPat: Array[Int],
     patLen: Array[Int]
 ) extends Serializable {
+
+  @inline private def goto(s: Int, c: Char): Int = {
+    var lo = edgeOffset(s)
+    var hi = edgeOffset(s + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = edgeChar(mid)
+      if (mc == c) return edgeTarget(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
 
   /** All raw matches as (patternId, start, endExclusive). */
   def rawMatches(text: String): Seq[(Int, Int, Int)] = {
@@ -31,15 +54,19 @@ final class AhoCorasick private (
     while (i < text.length) {
       val c = text.charAt(i)
       var s = state
-      while (s != 0 && !gotoMaps(s).contains(c)) s = fail(s)
-      state = gotoMaps(s).getOrElse(c, 0)
-      var o = state
+      var g = goto(s, c)
+      while (s != 0 && g < 0) { s = fail(s); g = goto(s, c) }
+      state = if (g >= 0) g else 0
+      var o = if (outOffset(state + 1) > outOffset(state)) state else outLink(state)
       while (o != 0) {
-        out(o).foreach { pid =>
-          val len = patLen(pid)
-          res += ((pid, i - len + 1, i + 1))
+        var k = outOffset(o)
+        val end = outOffset(o + 1)
+        while (k < end) {
+          val pid = outPat(k)
+          res += ((pid, i - patLen(pid) + 1, i + 1))
+          k += 1
         }
-        o = fail(o)
+        o = outLink(o)
       }
       i += 1
     }
@@ -57,7 +84,8 @@ final class AhoCorasick private (
       (s == 0 || !isWordChar(text.charAt(s - 1))) &&
       (e == text.length || !isWordChar(text.charAt(e)))
     }
-    // leftmost-longest greedy: sort by (start asc, len desc, pid asc), skip overlaps
+    // leftmost-longest greedy: sort by (start asc, len desc, pid asc), skip
+    // overlaps (the sort is over per-document match counts — small)
     val sorted = bounded.sortBy { case (pid, s, e) => (s, -(e - s), pid) }
     val res = mutable.ArrayBuffer.empty[(Int, Int, Int)]
     var lastEnd = 0
@@ -66,10 +94,17 @@ final class AhoCorasick private (
     }
     res.toSeq
   }
+
+  /** Frozen footprint in bytes (flat arrays only) — the broadcast payload. */
+  def sizeBytes: Long =
+    4L * (edgeOffset.length + edgeTarget.length + fail.length +
+      outLink.length + outOffset.length + outPat.length + patLen.length) +
+      2L * edgeChar.length
 }
 
 object AhoCorasick {
   def build(patterns: Seq[String]): AhoCorasick = {
+    // --- trie construction (transient hashmaps, freed after freeze) ---
     val gotoMaps = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
     val outB = mutable.ArrayBuffer(List.empty[Int])
     patterns.zipWithIndex.foreach { case (p, pid) =>
@@ -96,6 +131,48 @@ object AhoCorasick {
         fail(v) = if (gotoMaps(f).contains(c) && gotoMaps(f)(c) != v) gotoMaps(f)(c) else 0
       }
     }
-    new AhoCorasick(gotoMaps.toArray, fail, outB.toArray.map(_.reverse), patterns.map(_.length).toArray)
+
+    // --- freeze into flat arrays ---
+    val nEdges = gotoMaps.iterator.map(_.size).sum
+    val edgeOffset = new Array[Int](n + 1)
+    val edgeChar = new Array[Char](nEdges)
+    val edgeTarget = new Array[Int](nEdges)
+    var ep = 0
+    var i = 0
+    while (i < n) {
+      edgeOffset(i) = ep
+      val es = gotoMaps(i).toArray
+      java.util.Arrays.sort(es, Ordering.by((x: (Char, Int)) => x._1))
+      es.foreach { case (c, tgt) => edgeChar(ep) = c; edgeTarget(ep) = tgt; ep += 1 }
+      i += 1
+    }
+    edgeOffset(n) = ep
+
+    val nOut = outB.iterator.map(_.size).sum
+    val outOffset = new Array[Int](n + 1)
+    val outPat = new Array[Int](nOut)
+    var op = 0
+    i = 0
+    while (i < n) {
+      outOffset(i) = op
+      outB(i).reverse.foreach { pid => outPat(op) = pid; op += 1 }
+      i += 1
+    }
+    outOffset(n) = op
+
+    // output links: next emitting node along the fail chain (BFS order
+    // guarantees fail(v) is finalized before v)
+    val outLink = new Array[Int](n)
+    val bfs = mutable.Queue.empty[Int]
+    gotoMaps(0).valuesIterator.foreach(bfs += _)
+    while (bfs.nonEmpty) {
+      val u = bfs.dequeue()
+      val f = fail(u)
+      outLink(u) = if (outOffset(f + 1) > outOffset(f)) f else outLink(f)
+      gotoMaps(u).valuesIterator.foreach(bfs += _)
+    }
+
+    new AhoCorasick(edgeOffset, edgeChar, edgeTarget, fail, outLink,
+      outOffset, outPat, patterns.map(_.length).toArray)
   }
 }

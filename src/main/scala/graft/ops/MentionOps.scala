@@ -54,9 +54,13 @@ object MentionOps {
     * Verify — the driver's DuckDB oracle reads that file. */
   def kgPipelineTriples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val corpus = SyntheticCorpus.generate(nPages = 100, seed = 42L)
-    val pages = spark.createDataset(corpus.pages).repartition(8)
-    val res = Pipeline.run(spark, pages, Pipeline.dictsFromCorpus(spark, corpus),
+    // pages generated DISTRIBUTED on executors (PageFactory) — only the
+    // dictionaries are driver-built, mirroring the real pipeline entry
+    val factory = new SyntheticCorpus.PageFactory(42L, 120)
+    val pages = spark.range(100).repartition(8)
+      .mapPartitions(it => it.map(i => factory.page(i.toInt)))
+    val res = Pipeline.run(spark, pages,
+      Pipeline.dictsFromCorpus(spark, SyntheticCorpus.generate(0)),
       KgConfig.default)
     res.edges.select("url", "subject", "predicate", "object", "inferred")
       .orderBy("url", "subject", "predicate", "object", "inferred")
