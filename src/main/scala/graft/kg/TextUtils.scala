@@ -78,6 +78,48 @@ object TextUtils extends Serializable {
     sb.toString
   }
 
+  /** urllib.parse.unquote — decodes %XX UTF-8 byte sequences; malformed
+    * escapes pass through verbatim (Python parity). */
+  def pyUnquote(s: String): String = {
+    if (s == null) return ""
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        out.write(hex(s.charAt(i + 1)) * 16 + hex(s.charAt(i + 2)))
+        i += 3
+      } else {
+        val bs = c.toString.getBytes("UTF-8")
+        out.write(bs, 0, bs.length)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** P6 _parse_wikipedia_url — wikipedia/service.py:145-156: full URL →
+    * (lang, title); ("", "") when the path carries no /wiki/ segment or the
+    * URL does not parse. lang = first label of the host; title =
+    * unquote(path after /wiki/) with '_'→' '. */
+  def parseWikipediaUrl(url: String): (String, String) = {
+    if (url == null) return ("", "")
+    try {
+      val u = new java.net.URI(url)
+      val lang = Option(u.getHost).getOrElse("").split('.').headOption.getOrElse("")
+      val path = Option(u.getRawPath).getOrElse("")
+      val idx = path.indexOf("/wiki/")
+      if (idx < 0) ("", "")
+      else (lang, pyUnquote(path.substring(idx + 6)).replace('_', ' '))
+    } catch { case _: Exception => ("", "") }
+  }
+
   /** sanitize_wikipedia_url — utils/text_utils.py:115-132. Encodes only the
     * title part after /wiki/, space→underscore, safe set "_()%-". */
   def sanitizeWikipediaUrl(url: String): String = {

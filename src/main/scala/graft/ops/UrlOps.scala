@@ -18,6 +18,9 @@ object UrlOps {
     val dbpUri = udf((s: String) => TextUtils.dbpediaUri(s))
     val stripEll = udf((s: String) => TextUtils.stripTrailingEllipsis(s))
     val validUdf = udf((s: String) => TextUtils.isValidWikipediaUrl(s))
+    // P6: full URL → (lang, title) round-trip (sanitize ∘ parse = identity
+    // on these names); a non-wiki URL parses to ("", "")
+    val parse = udf((s: String) => TextUtils.parseWikipediaUrl(s))
     t(spark, dir, "part")
       .select(col("p_partkey"), col("p_name"))
       .withColumn("wiki_url",
@@ -25,7 +28,12 @@ object UrlOps {
       .withColumn("is_valid", validUdf(col("wiki_url")))
       .withColumn("dbpedia_uri", dbpUri(col("p_name")))
       .withColumn("no_ellipsis", stripEll(concat(col("p_name"), lit("..."))))
-      .select("p_partkey", "wiki_url", "is_valid", "dbpedia_uri", "no_ellipsis")
+      .withColumn("parsed", parse(col("wiki_url")))
+      .withColumn("nonwiki", parse(lit("https://example.com/page/1")))
+      .select(col("p_partkey"), col("wiki_url"), col("is_valid"),
+        col("dbpedia_uri"), col("no_ellipsis"),
+        col("parsed._1").as("parsed_lang"), col("parsed._2").as("parsed_title"),
+        col("nonwiki._1").as("nonwiki_lang"), col("nonwiki._2").as("nonwiki_title"))
       .orderBy("p_partkey")
   }
 
@@ -53,7 +61,11 @@ object UrlOps {
            '^https?://[a-z]{2}\.wikipedia\.org/wiki/[a-zA-Z0-9_\-%]+') AS is_valid,
          'http://dbpedia.org/resource/' || upper(substr(replace(p_name, ' ', '_'), 1, 1))
            || substr(replace(p_name, ' ', '_'), 2) AS dbpedia_uri,
-         p_name AS no_ellipsis
+         p_name AS no_ellipsis,
+         'de' AS parsed_lang,
+         p_name AS parsed_title,
+         '' AS nonwiki_lang,
+         '' AS nonwiki_title
          FROM part ORDER BY p_partkey""",
     "ta_top10_words" ->
       """SELECT word, count(*) AS n FROM (

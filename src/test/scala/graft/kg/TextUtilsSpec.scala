@@ -77,6 +77,23 @@ class TextUtilsSpec extends AnyFunSuite {
     assert(math.abs(seqRatio("besuchte", "erforschte") - 0.6666666666666666) < eps)
   }
 
+  test("P6 parseWikipediaUrl — wikipedia/service.py:145-156 cases") {
+    import TextUtils._
+    assert(parseWikipediaUrl("https://de.wikipedia.org/wiki/Albert_Einstein") ==
+      ("de", "Albert Einstein"))
+    // percent-encoded umlaut round-trips through unquote
+    assert(parseWikipediaUrl("https://de.wikipedia.org/wiki/M%C3%BCnchen") ==
+      ("de", "München"))
+    assert(parseWikipediaUrl("https://en.wikipedia.org/wiki/Paris_(Texas)") ==
+      ("en", "Paris (Texas)"))
+    // no /wiki/ segment → ("", "")
+    assert(parseWikipediaUrl("https://example.com/page/1") == ("", ""))
+    assert(parseWikipediaUrl("not a url at all") == ("", ""))
+    assert(parseWikipediaUrl(null) == ("", ""))
+    // malformed escape passes through (Python unquote parity)
+    assert(pyUnquote("a%ZZb%20c") == "a%ZZb c")
+  }
+
   test("entityId is deterministic sha1") {
     assert(entityId("u", "e") == entityId("u", "e"))
     assert(entityId("u", "e") != entityId("u", "f"))
