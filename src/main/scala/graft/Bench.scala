@@ -157,7 +157,7 @@ object Bench {
     val spark1 = session(cpus)
     // warmup: exercise codegen/shuffle machinery once, untimed
     SparkEntry.queries("q01_agg")(spark1, sfDir).write.format("noop").mode("overwrite").save()
-    val results = headline.map { name =>
+    def headlinePass(): Seq[(String, Double)] = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, secs) = time {
         try fn(spark1, sfDir).write.format("noop").mode("overwrite").save()
@@ -165,6 +165,11 @@ object Bench {
       }
       name -> secs
     }
+    // min-of-2: the shared host has minutes-long CPU-steal bursts that can
+    // inflate a single pass 10x; two passes give each query two chances
+    val pass1 = headlinePass()
+    val pass2 = headlinePass()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     spark1.stop()
 
     // ---- part 2: KG scaling protocol local[8] vs local[32] ----

@@ -75,10 +75,48 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-style ANN (the other classic scale path next to LSH): a
+    * deterministic 16-entry coarse codebook (fixed vec_ids as centroids —
+    * the seed-stable stand-in for k-means), every vector assigned to its
+    * nearest centroid (broadcast join against the codebook, one shuffle on
+    * cluster id), queries probe their nprobe=2 nearest clusters and run the
+    * local top-k inside those clusters only. At 10^9 vectors the codebook
+    * grows to ~√N entries and the per-cluster scan stays ~N/√N. */
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assignAll = e.join(broadcast(cent))
+      .withColumn("ccos", round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (col("nrm") * col("cn")), 4))
+      .withColumn("crk", row_number().over(wAssign))
+    val assigned = assignAll.filter(col("crk") === 1)
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nn"))
+    val probes = assignAll.filter(col("crk") <= 2 && col("vec_id") < 10)
+      .select(col("cid").as("qcid"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos4").desc, col("neighbor_id").asc)
+    probes.join(assigned,
+        col("qcid") === col("cid") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos4", round(
+        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+          (col("qn") * col("nn")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos4").as("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk"        -> simTopk _,
     "sim_lsh_buckets" -> simLshBuckets _,
-    "sim_ann_topk"    -> simAnnTopk _)
+    "sim_ann_topk"    -> simAnnTopk _,
+    "sim_ivf_topk"    -> simIvfTopk _)
 
   private val vecsSql =
     """SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
@@ -106,6 +144,28 @@ object SimilarityOps {
     "sim_lsh_buckets" ->
       s"""WITH e AS ($vecsSql)
          SELECT vec_id, $bucketSql AS bucket FROM e ORDER BY vec_id""",
+    "sim_ivf_topk" ->
+      s"""WITH e AS ($vecsSql),
+         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                  WHERE vec_id % 37 = 0 AND vec_id < 592),
+         aa AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+             round(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i]),
+               (a, b) -> a + b) / (e.nrm * c.cn), 4) AS ccos
+           FROM e, cent c),
+         ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crk FROM aa),
+         assigned AS (SELECT cid, vec_id AS neighbor_id, v AS nv, nrm AS nn FROM ar WHERE crk = 1),
+         probes AS (SELECT cid AS qcid, vec_id AS query_id, v AS qv, nrm AS qn
+                    FROM ar WHERE crk <= 2 AND vec_id < 10),
+         p AS (SELECT q.query_id, a.neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * a.nv[i]),
+               (a2, b2) -> a2 + b2) / (q.qn * a.nn), 4) AS cos4
+           FROM probes q JOIN assigned a
+             ON q.qcid = a.cid AND q.query_id <> a.neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cos4,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, neighbor_id ASC) AS rk
+           FROM p)
+         SELECT query_id, rk, neighbor_id, cos4 AS cosine FROM r WHERE rk <= 3
+         ORDER BY query_id, rk""",
     "sim_ann_topk" ->
       s"""WITH e AS ($vecsSql),
          eb AS (SELECT vec_id, v, nrm, $bucketSql AS bucket FROM e),
