@@ -44,4 +44,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("KG extract stage runs under Structured Streaming (triples parity)") {
+    import graft.kg._
+    import spark.implicits._
+    // the fused extract pass is a stateless mapPartitions — it must run
+    // unchanged as a streaming micro-batch transform (the incremental-crawl
+    // ingestion shape: readStream over new page snapshots → extract)
+    val corpus = SyntheticCorpus.generate(nPages = 60, seed = 42L)
+    val dicts = Pipeline.dictsFromCorpus(spark, corpus)
+    val stageDir = java.nio.file.Files.createTempDirectory("pages_stream")
+    val pagesDf = spark.createDataset(corpus.pages).toDF()
+    pagesDf.write.mode("overwrite").parquet(stageDir.resolve("p").toString)
+
+    val streamed = spark.readStream.schema(pagesDf.schema)
+      .parquet(stageDir.resolve("p").toString)
+      .as[PageRow]
+    val triples = KgExtract.run(spark, streamed, dicts.aliases, dicts.patterns,
+        dicts.wdPartOf, KgConfig.default, useHtml = true, descByQid = dicts.wdDesc)
+      .flatMap(_.triples)
+    val q = triples.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("kg_stream_triples")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT url, subject, predicate, object FROM kg_stream_triples")
+      .as[(String, String, String, String)].collect().toSet
+    val want = KgExtract.run(spark, spark.createDataset(corpus.pages),
+        dicts.aliases, dicts.patterns, dicts.wdPartOf, KgConfig.default,
+        useHtml = true, descByQid = dicts.wdDesc)
+      .flatMap(_.triples)
+      .select($"url", $"subject", $"predicate", $"object")
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
