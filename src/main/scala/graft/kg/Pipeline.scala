@@ -63,16 +63,20 @@ object Pipeline {
     import spark.implicits._
 
     // ---- extract stage: fused map pass (E1-E3, R1-R4, D3, D6) ----
+    // Cached as a DATAFRAME, not a typed Dataset: typed flatMap would
+    // deserialize the whole DocOut row (including the fat scrape column)
+    // in every consumer, while InMemoryRelation + Catalyst explode prunes
+    // each branch to exactly the columns it reads.
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
       dicts.wdPartOf, cfg, useHtml, dicts.wdDesc)
+      .toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // entities/edges are persisted NARROW: the link join tree and the
-    // statistics branches scan them several times, and re-reading the fat
-    // DocOut cache (scrape text) per scan dominates otherwise
-    val entities = docOut.flatMap(_.entities).toDF()
+    // statistics branches scan them several times
+    val entities = docOut.select(explode(col("entities")).as("e")).select("e.*")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = docOut.flatMap(_.triples).toDF()
+    val edges = docOut.select(explode(col("triples")).as("t")).select("t.*")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- link stage: Wikipedia → Wikidata → DBpedia dictionary joins ----
@@ -80,7 +84,7 @@ object Pipeline {
     // must not re-execute the join chain per aggregate (at scale this stage
     // is written to a table first — runMaterialized — which serves the same
     // purpose)
-    val scrapes = docOut.toDF().select(col("url").as("p_url"),
+    val scrapes = docOut.select(col("url").as("p_url"),
       when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
     val prep = prepared.getOrElse(
       Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,

@@ -33,14 +33,15 @@ object ScaleProbe {
       println(s"[scale] rep=$r")
       val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
           dicts.wdPartOf, KgConfig.default, useHtml = true, descByQid = dicts.wdDesc)
+        .toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("extract")(docOut.count())
-      val entities = docOut.flatMap(_.entities).toDF()
+      val entities = docOut.select(org.apache.spark.sql.functions.explode($"entities").as("e")).select("e.*")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edgesDf = docOut.flatMap(_.triples).toDF()
+      val edgesDf = docOut.select(org.apache.spark.sql.functions.explode($"triples").as("t")).select("t.*")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val e = t("edges")(edgesDf.count())
-      val scrapes = docOut.toDF().select(org.apache.spark.sql.functions.col("url").as("p_url"),
+      val scrapes = docOut.select(org.apache.spark.sql.functions.col("url").as("p_url"),
         org.apache.spark.sql.functions.when(
           org.apache.spark.sql.functions.length($"scrape") > 0, $"scrape").as("p_extract"))
       val nodes = t("link") {
