@@ -69,9 +69,12 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  /** normalize_entity_name over synthesized variants of part names (P7). */
+  /** normalize_entity_name over synthesized variants of part names (P7),
+    * via the NATIVE Catalyst expression (codegen, no UDF —
+    * graft.functions.NormName). */
   def kgNormname(spark: SparkSession, dir: String): DataFrame = {
-    val norm = udf((s: String) => TextUtils.normName(s))
+    val norm = (c: org.apache.spark.sql.Column) =>
+      graft.functions.GraftFunctions.norm_name(spark, c)
     val p = t(spark, dir, "part")
     p.select(col("p_partkey"), lit(0).as("variant"), norm(col("p_name")).as("normed"))
       .union(p.select(col("p_partkey"), lit(1).as("variant"),
