@@ -173,32 +173,44 @@ object Bench {
     spark1.stop()
 
     // ---- part 2: KG scaling protocol local[8] vs local[32] ----
+    // INTERLEAVED reps (8, 32, 8, 32, ...) in alternating sessions: the
+    // shared host has minutes-long steal bursts — running one level's reps
+    // back-to-back lets a single burst corrupt that whole level (observed:
+    // raw "efficiency" from 0.28 to 1.14 across otherwise-identical runs).
+    // Interleaving + min-per-level makes each level sample several windows.
+    // Host-ceiling microbenchmarks run once per rep; MEDIAN ratio reported.
     def prepFor(s: SparkSession) = graft.kg.Pipeline.prepareLink(s,
       graft.kg.Pipeline.dictsFromCorpus(s, graft.kg.SyntheticCorpus.generate(0)))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    val spark8 = session(8)
-    val prep8 = prepFor(spark8)
-    kgRun(spark8, math.max(kgPages / 20, 500), Some(prep8)) // warmup
-    val (p8, t8, s8, n8) = kgRunBest(spark8, kgPages, 3, prep8)
-    spark8.stop()
-
-    val spark32 = session(32)
-    val prep32 = prepFor(spark32)
-    kgRun(spark32, math.max(kgPages / 20, 500), Some(prep32)) // warmup
-    val (p32, t32, s32, n32) = kgRunBest(spark32, kgPages, 3, prep32)
-    val (gazBuild, gazMb, gazBc) = gazProbe(spark32)
-    spark32.stop()
+    val reps = 3
+    val runs = scala.collection.mutable.Map[Int,
+      List[(Double, Double, Double, Long)]](8 -> Nil, 32 -> Nil)
+    val hostRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val memRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var gazStats = (0.0, 0.0, 0.0)
+    (1 to reps).foreach { rep =>
+      Seq(8, 32).foreach { n =>
+        val s = session(n)
+        val prep = prepFor(s)
+        kgRun(s, math.max(kgPages / 40, 500), Some(prep)) // per-session warmup
+        runs(n) = kgRun(s, kgPages, Some(prep)) :: runs(n)
+        if (rep == reps && n == 32) gazStats = gazProbe(s)
+        s.stop()
+      }
+      hostRatios += cpuScore(32) / cpuScore(8)
+      memRatios += memScore(32) / memScore(8)
+    }
+    val (p8, t8, s8, n8) = runs(8).minBy(_._3)
+    val (p32, t32, s32, n32) = runs(32).minBy(_._3)
+    val (gazBuild, gazMb, gazBc) = gazStats
 
     val eff = (s8 / s32) / 4.0
     // host ceilings: the machine's own 8→32 scaling for ALU-bound work
-    // (cpuScore) and bandwidth-bound work (memScore) — both ≤ 4.0 on this
-    // shared/overcommitted VM; a scan+shuffle pipeline lands between them
-    val host8 = cpuScore(8)
-    val host32 = cpuScore(32)
-    val hostRatio = host32 / host8
-    val mem8 = memScore(8)
-    val mem32 = memScore(32)
-    val memRatio = mem32 / mem8
+    // (cpuScore) and bandwidth-bound work (memScore) — both ≤ 4.0 on an
+    // unloaded host; a scan+shuffle pipeline lands between them
+    val hostRatio = median(hostRatios.toSeq)
+    val memRatio = median(memRatios.toSeq)
     val effNorm = (s8 / s32) / hostRatio
     val effNormMem = (s8 / s32) / memRatio
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
