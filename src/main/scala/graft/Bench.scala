@@ -144,9 +144,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 960k pages: large enough that per-job fixed costs (driver planning,
+    // 720k pages: large enough that per-job fixed costs (driver planning,
     // broadcast hash builds, stage scheduling) amortize into the scan
-    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "960000").toInt
+    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "720000").toInt
 
     // ---- part 1: headline queries at local[cpus] ----
     val headline = Seq(
@@ -183,7 +183,7 @@ object Bench {
       graft.kg.Pipeline.dictsFromCorpus(s, graft.kg.SyntheticCorpus.generate(0)))
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    val reps = 3
+    val reps = sys.env.getOrElse("SPARK_GRAFT_KG_REPS", "2").toInt
     val runs = scala.collection.mutable.Map[Int,
       List[(Double, Double, Double, Long)]](8 -> Nil, 32 -> Nil)
     val hostRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
