@@ -10,19 +10,23 @@ import org.apache.spark.sql.functions._
   * (run_id, stage, metric, key, value) so the same sink carries lineage
   * counts (north_rule: per-partition lineage rows + metrics).
   *
-  * The whole computation is ONE lazy plan (a union of aggregate branches):
-  * no driver-side collects, no eager jobs — the caller materializes it once
-  * when writing the metrics sink, and Spark schedules all branches inside a
-  * single job. The round-1 version ran 5 separate jobs with driver
-  * round-trips between them; at 32 threads that serialized ~7 s of
-  * scheduling + collect latency into the critical path. The caller is
-  * expected to have `nodesFull` persisted (the branches scan it repeatedly;
-  * Spark's InMemoryTableScan prunes to the referenced columns).
+  * The whole computation is ONE lazy plan built from FOUR data passes
+  * (no driver collects, no eager jobs):
+  *   1. one scalar aggregate over nodes (totals + linked counts/percents),
+  *   2. one metric-keyed explode+groupBy over nodes covering SIX counter
+  *      families at once (types, both fallback distributions, three top-10
+  *      exploded counters — rank filter applied only to top10_* metrics),
+  *   3. one metric-keyed explode+groupBy over edges (predicates + inference
+  *      ratios, with the edge total derived from the grouped result),
+  *   4. one symmetric-explode distinct pass for entity connections.
+  * The round-1 version ran ~9 separate branch scans; per-branch stage
+  * latency (driver scheduling + AQE re-planning) dominated at 32 threads.
+  * The caller is expected to have `nodesFull` persisted.
   */
 object Statistics {
 
   /** `cacheNarrow`: persist the narrow node projection (right when the
-    * input is an in-memory fat cache — 5 branch scans would decompress the
+    * input is an in-memory fat cache — branch scans would decompress the
     * fat columns each time); pass false when nodes come from parquet,
     * where column pruning already makes repeated scans cheap. */
   def compute(spark: SparkSession, nodesFull: DataFrame, edges: DataFrame,
@@ -46,10 +50,10 @@ object Statistics {
       struct(metric.cast("string").as("metric"), key.cast("string").as("key"),
         value.cast("double").as("value"))
 
-    // A1 + A3 in ONE aggregate: totals, linked counts + percents (DBpedia
-    // counts only status=="linked", wikipedia/wikidata count found —
-    // context_statistics.py:44-48, :114-152; percent rounding parity:
-    // round(100*c/total, 1) HALF_UP == the reference's round(..., 1))
+    // ---- pass 1: A1 + A3 in ONE aggregate — totals, linked counts +
+    // percents (DBpedia counts only status=="linked", wikipedia/wikidata
+    // count found — context_statistics.py:44-48, :114-152; percent rounding
+    // parity: round(100*c/total, 1) HALF_UP == the reference's round(.,1))
     def pct(c: Column) = when(col("total") === 0, 0.0)
       .otherwise(round(lit(100.0) * c / col("total"), 1))
     val linked = nodes.agg(
@@ -67,72 +71,65 @@ object Statistics {
         row(lit("linked_percent"), lit("dbpedia"), pct(col("dbp"))))).as("m"))
       .select("m.*")
 
-    // A2 types_distribution ("Unknown" default — :106-112)
-    val typesDist = nodes
-      .groupBy(coalesce(col("typ"), lit("Unknown")).as("key"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(row(lit("types_distribution"), col("key"), col("value")).as("m"))
-      .select("m.*")
-
-    // A4/A5/A6 top-10 exploded counters in one unioned pass (deterministic
-    // tie-break: count desc, key asc — context_statistics_top10.py:56)
-    val topAll = nodes.select(lit("top10_categories").as("metric"),
-        explode(col("categories")).as("key"))
-      .union(nodes.select(lit("top10_internal_links"), explode(col("internal_links"))))
-      .union(nodes.select(lit("top10_instance_of"), explode(col("inst_labels"))))
+    // ---- pass 2: all node-side counters in ONE explode+groupBy.
+    // A2 types_distribution ("Unknown" default — :106-112), A10 fallback
+    // distributions (wikipedia/service.py:786-931 batch stats), A4/A5/A6
+    // top-10 exploded counters (tie-break: count desc, key asc —
+    // context_statistics_top10.py:56; rank filter only on top10_* metrics)
+    def mk(metric: String, key: Column) =
+      struct(lit(metric).as("metric"), key.as("key"))
+    val nodeCounters = nodes.select(explode(concat(
+        array(
+          mk("types_distribution", coalesce(col("typ"), lit("Unknown"))),
+          mk("wikipedia_fallback_dist", coalesce(col("wp_fallback"), lit("none"))),
+          mk("dbpedia_fallback_dist", coalesce(col("dbp_fb"), lit("none")))),
+        transform(col("categories"), c =>
+          struct(lit("top10_categories").as("metric"), c.as("key"))),
+        transform(col("internal_links"), c =>
+          struct(lit("top10_internal_links").as("metric"), c.as("key"))),
+        transform(col("inst_labels"), c =>
+          struct(lit("top10_instance_of").as("metric"), c.as("key"))))).as("mk"))
+      .select(col("mk.metric").as("metric"), col("mk.key").as("key"))
       .groupBy("metric", "key").agg(count(lit(1)).cast("double").as("value"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("metric").orderBy(col("value").desc, col("key").asc)))
-      .filter(col("rk") <= 10)
+      .filter(!col("metric").startsWith("top10_") || col("rk") <= 10)
       .select(row(col("metric"), col("key"), col("value")).as("m"))
       .select("m.*")
 
-    // A10 service batch stats (wikipedia/service.py:786-931): per-stage
-    // fallback usage — which resolution path served each entity ("none" =
-    // direct hit / unresolved; the reference's per-service counters)
-    val wpFallbackDist = nodes
-      .groupBy(coalesce(col("wp_fallback"), lit("none")).as("key"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(row(lit("wikipedia_fallback_dist"), col("key"), col("value")).as("m"))
+    // ---- pass 3: edge-side counters in ONE explode+groupBy (A7 top-10
+    // predicates + A8 inference ratios); the A1 edge total is derived from
+    // the (tiny) grouped inference rows, not another scan
+    val edgeGrouped = edges.select(explode(array(
+        mk("top10_predicates", col("predicate")),
+        mk("relationships_inferred", lower(col("inferred"))))).as("mk"))
+      .select(col("mk.metric").as("metric"), col("mk.key").as("key"))
+      .groupBy("metric", "key").agg(count(lit(1)).cast("double").as("value"))
+    val edgeCounters = edgeGrouped
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("metric").orderBy(col("value").desc, col("key").asc)))
+      .filter(!col("metric").startsWith("top10_") || col("rk") <= 10)
+      .select(row(col("metric"), col("key"), col("value")).as("m"))
       .select("m.*")
-    val dbpFallbackDist = nodes
-      .groupBy(coalesce(col("dbp_fb"), lit("none")).as("key"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(row(lit("dbpedia_fallback_dist"), col("key"), col("value")).as("m"))
-      .select("m.*")
-
-    // A1 (edges) total
-    val relTotal = edges.agg(count(lit(1)).cast("double").as("c"))
+    val relTotal = edgeGrouped
+      .filter(col("metric") === "relationships_inferred")
+      .agg(coalesce(sum("value"), lit(0.0)).as("c"))
       .select(row(lit("total"), lit("relationships"), col("c")).as("m"))
       .select("m.*")
 
-    // A7 top-10 predicates (single-partition window over the small distinct
-    // predicate vocabulary)
-    val topPreds = edges.groupBy(col("predicate").as("key"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(lit("p")).orderBy(col("value").desc, col("key").asc)))
-      .filter(col("rk") <= 10)
-      .select(row(lit("top10_predicates"), col("key"), col("value")).as("m"))
-      .select("m.*")
-
-    // A8 inference ratios
-    val infRows = edges.groupBy(lower(col("inferred")).as("key"))
-      .agg(count(lit(1)).cast("double").as("value"))
-      .select(row(lit("relationships_inferred"), col("key"), col("value")).as("m"))
-      .select("m.*")
-
-    // A9 entity_connections: distinct neighbors per entity, top 10
-    val conns = edges.select(col("subject").as("e"), col("object").as("n"))
-      .union(edges.select(col("object").as("e"), col("subject").as("n")))
+    // ---- pass 4: A9 entity_connections — distinct neighbors per entity,
+    // top 10, via a single symmetric explode (one edges scan, not two)
+    val conns = edges.select(explode(array(
+        struct(col("subject").as("e"), col("object").as("n")),
+        struct(col("object").as("e"), col("subject").as("n")))).as("p"))
+      .select(col("p.e").as("key"), col("p.n").as("n"))
       .distinct()
-      .groupBy(col("e").as("key")).agg(count(lit(1)).cast("double").as("value"))
+      .groupBy("key").agg(count(lit(1)).cast("double").as("value"))
       .orderBy(col("value").desc, col("key").asc).limit(10)
       .select(row(lit("entity_connections"), col("key"), col("value")).as("m"))
       .select("m.*")
 
-    Seq(linked, typesDist, topAll, wpFallbackDist, dbpFallbackDist,
-        relTotal, topPreds, infRows, conns)
+    Seq(linked, nodeCounters, edgeCounters, relTotal, conns)
       .reduce(_.unionByName(_))
       .select(lit(runId).as("run_id"), lit("stats").as("stage"),
         col("metric"), col("key"), col("value"))
