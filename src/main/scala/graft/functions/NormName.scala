@@ -27,18 +27,24 @@ case class NormName(child: Expression) extends UnaryExpression {
   override def prettyName: String = "norm_name"
 
   override protected def nullSafeEval(input: Any): Any =
-    NormName.eval(input.asInstanceOf[UTF8String])
+    NormNameImpl.normalize(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NormName.eval($c)")
+    // NormNameImpl is a STANDALONE object: the Scala compiler emits a
+    // static forwarder for `normalize`, so the generated Java compiles.
+    // (A companion object of the case class would NOT get one — `eval`
+    // clashes with Expression.eval and codegen would silently fall back
+    // to the interpreted path.)
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormNameImpl.normalize($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NormName =
     copy(child = newChild)
 }
 
-object NormName {
-  /** Static entry shared by interpreted eval and generated code. */
-  def eval(s: UTF8String): UTF8String =
+/** Static entry shared by interpreted eval and generated code (standalone
+  * object → static forwarder → callable from generated Java). */
+object NormNameImpl {
+  def normalize(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.kg.TextUtils.normName(s.toString))
 }
 

@@ -22,13 +22,20 @@ class NormNameExpressionSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("no ScalaUDF in the plan — stays inside codegen") {
+  test("no ScalaUDF in the plan — stays inside codegen (fallback disabled)") {
     val df = Seq("Paris (Texas)").toDF("s")
       .select(GraftFunctions.norm_name(spark, col("s")))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), plan)
-    assert(df.queryExecution.executedPlan.toString.contains("WholeStageCodegen") ||
-      !plan.contains("BatchEval"), plan)
+    // with codegen fallback OFF, a generated-code compile error would
+    // surface here instead of silently degrading to interpreted eval
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.as[String].collect().toSeq == Seq("paris"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("SQL registration: norm_name usable from spark.sql") {
