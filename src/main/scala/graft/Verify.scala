@@ -4,6 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Golden oracles for the KG pipeline queries: the INDEPENDENT
+    * single-threaded Scala oracle's triples (graft.kg.Oracle — naive
+    * algorithms, no shared code with the pipeline) dumped as parquet; the
+    * driver's DuckDB oracle SQL reads these files, upgrading the flagship
+    * KG queries from rows-only to a full hash compare. Each golden is
+    * pinned by (name, version, content hash) in GOLDEN_HASH — Verify fails
+    * loudly on silent generator/oracle co-drift (graft.kg.Golden.check). */
+  def writeGoldens(spark: SparkSession): Unit = {
+    import graft.kg.{Golden, KgConfig, Oracle, SyntheticCorpus}
+    import spark.implicits._
+    val corpus = SyntheticCorpus.generate(nPages = 100, seed = 42L)
+    Golden.variants.foreach { case (name, version, cfg) =>
+      val golden = corpus.pages.flatMap { p =>
+        Oracle.processDoc(p, corpus.aliases, corpus.patterns,
+          corpus.wdEntities, cfg)._2
+          .map(t => (p.url, t.subject, t.predicate, t.obj, t.inferred))
+      }
+      // \u0001 field separator: unambiguous even if a field ever contains
+      // another field's prefix (must match GoldenHashTool exactly)
+      val canonical = golden.sorted.map(_.productIterator.mkString("\u0001"))
+        .mkString("\n")
+      Golden.check(name, version, Golden.sha1(canonical))
+      golden.toDF("url", "subject", "predicate", "object", "inferred")
+        .coalesce(1).write.mode("overwrite").parquet(Golden.path(name))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,24 +43,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val _ = new java.io.File(outDir).mkdirs()
-    // Golden oracle for kg_pipeline_triples: the INDEPENDENT single-threaded
-    // Scala oracle's triples (graft.kg.Oracle — naive algorithms, no shared
-    // code with the pipeline) dumped as parquet; the driver's DuckDB oracle
-    // SQL reads this file, upgrading the flagship KG query from rows-only
-    // to a full hash compare.
-    locally {
-      import graft.kg.{KgConfig, Oracle, SyntheticCorpus}
-      val corpus = SyntheticCorpus.generate(nPages = 100, seed = 42L)
-      val golden = corpus.pages.flatMap { p =>
-        Oracle.processDoc(p, corpus.aliases, corpus.patterns,
-          corpus.wdEntities, KgConfig.default)._2
-          .map(t => (p.url, t.subject, t.predicate, t.obj, t.inferred))
-      }
-      import spark.implicits._
-      golden.toDF("url", "subject", "predicate", "object", "inferred")
-        .coalesce(1).write.mode("overwrite")
-        .parquet("/root/repo/golden/kg_pipeline_triples")
-    }
+    writeGoldens(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

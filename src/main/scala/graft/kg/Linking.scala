@@ -37,6 +37,23 @@ object Linking {
     "Articles that", "Articles using", "Articles covered", "Articles which",
     "Articles where", "Articles without")
 
+  /** U2 clean_title (utils/language_utils.py:100-132) as a codegen'd
+    * column expression: drop a trailing " (qualifier)", collapse + trim
+    * whitespace. The reference applies it to lookup terms before the
+    * opensearch/translation retries (translation_utils.py:123). */
+  def cleanTitleCol(title: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(title, "\\s+\\([^)]*\\)$", ""), "\\s+", " "))
+
+  /** P11 label-from-URI (context_statistics_top10.py:234-251
+    * extract_label_from_uri): last path component, Category: prefix
+    * stripped, underscores → spaces. Plain strings pass through. */
+  def labelFromUri(uri: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_extract(uri, "([^/]+)$", 1), "^Category:", ""),
+      "_", " ")
+
   /** P8 + P9: strip namespace prefix, drop maintenance categories. */
   def cleanCategories(categories: Column): Column = {
     val stripped = transform(categories,
@@ -85,16 +102,51 @@ object Linking {
       joinType).drop("__salt")
   }
 
+  /** One dictJoin plan decision: which path a join site took and the size
+    * evidence behind it. Drained by Pipeline into the metrics table so
+    * plan drift at scale is observable, not silent. */
+  final case class JoinDecision(site: String, broadcast: Boolean,
+      estBytes: BigInt, fromRowCount: Boolean)
+  val recordedJoins = new java.util.concurrent.ConcurrentLinkedQueue[JoinDecision]()
+
+  /** Drain all decisions recorded since the last call (plan-construction
+    * time, driver-side — dictJoin decides eagerly when the plan is built). */
+  def drainJoinDecisions(): Seq[JoinDecision] = {
+    val buf = Seq.newBuilder[JoinDecision]
+    var d = recordedJoins.poll()
+    while (d != null) { buf += d; d = recordedJoins.poll() }
+    buf.result()
+  }
+
+  /** Optimizer estimates at/above this are the "no stats" sentinel
+    * (spark.sql.defaultSizeInBytes = Long.MaxValue propagated through
+    * plans without CBO stats) — not a real size. */
+  private val NoStatsSentinel = BigInt(Long.MaxValue) / 4
+
   /** Size-gated dictionary join (the production join for every L-stage):
     * broadcast when the dictionary's optimizer-estimated size fits under
     * `cfg.dictBroadcastMaxBytes`; salted shuffle-hash otherwise. At 100 TB
     * the wiki/wd dictionaries (10^8 rows) always take the salted path; the
-    * pattern/redirect tables stay broadcast. */
+    * pattern/redirect tables stay broadcast.
+    *
+    * Gate robustness: when the optimizer has NO size estimate it returns
+    * the defaultSizeInBytes sentinel (8 EiB), which would force every
+    * stats-less dictionary onto the salted path even when tiny. In that
+    * case the gate falls back to a row-count probe (one cheap job over the
+    * dictionary — dictionaries are persisted artifacts, orders of
+    * magnitude smaller than the probe side) with a conservative 512 B/row
+    * estimate. Every decision is recorded (`recordedJoins`) and surfaced
+    * as a metrics row per join site. */
   def dictJoin(
       probe: DataFrame, dict: DataFrame, probeKey: Column, dictKey: Column,
-      cfg: KgConfig, saltSource: Column, joinType: String = "left"): DataFrame = {
-    val small = !cfg.forceSaltedJoins &&
-      dict.queryExecution.optimizedPlan.stats.sizeInBytes <= cfg.dictBroadcastMaxBytes
+      cfg: KgConfig, saltSource: Column, joinType: String = "left",
+      site: String = "anon"): DataFrame = {
+    val planEst = dict.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (est, fromRows) =
+      if (planEst >= NoStatsSentinel) (BigInt(dict.count()) * 512, true)
+      else (planEst, false)
+    val small = !cfg.forceSaltedJoins && est <= cfg.dictBroadcastMaxBytes
+    recordedJoins.add(JoinDecision(site, small, est, fromRows))
     if (small) probe.join(broadcast(dict), probeKey === dictKey, joinType)
     else saltedJoin(probe, dict, probeKey, dictKey, cfg.nSalt, joinType, Some(saltSource))
   }
@@ -204,13 +256,17 @@ object Linking {
       .filter(col("os_key").isNotNull).distinct()
     val dbpSel = dbp.select(col("uri").as("dbp_uri_dict"),
       col("label_en").as("dbp_label"), col("abstract_en").as("dbp_abstract"),
-      col("types").as("dbp_types"), col("categories").as("dbp_categories"))
+      col("types").as("dbp_types"), col("categories").as("dbp_categories"),
+      col("subjects").as("dbp_subjects"), col("part_of").as("dbp_part_of"),
+      col("has_part").as("dbp_has_part"))
     val lookupPick = dbp
       .filter(col("label_en").isNotNull && col("abstract_en").isNotNull)
       .groupBy(lower(col("label_en")).as("lk_key"))
       .agg(min_by(struct(col("uri").as("lk_uri"), col("label_en").as("lk_label"),
         col("abstract_en").as("lk_abstract"), col("types").as("lk_types"),
-        col("categories").as("lk_categories")), col("uri")).as("lk"))
+        col("categories").as("lk_categories"), col("subjects").as("lk_subjects"),
+        col("part_of").as("lk_part_of"), col("has_part").as("lk_has_part")),
+        col("uri")).as("lk"))
       .select(col("lk_key"), col("lk.*"))
     Prepared(
       primary = primary, secondary = secondary, redir = redir, links2 = links2,
@@ -240,11 +296,11 @@ object Linking {
     // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true),
     // then primary-language dictionary join
     val withTitle = dictJoin(entities, prep.redir,
-        entities("entity"), col("from_title"), cfg, entities("url"))
+        entities("entity"), col("from_title"), cfg, entities("url"), site = "l1_redirects")
       .withColumn("w_lookup", coalesce(col("to_title"), col("entity")))
       .drop("from_title", "to_title")
     val s1 = dictJoin(withTitle, prep.primary,
-      col("w_lookup"), col("w_title"), cfg, col("url"))
+      col("w_lookup"), col("w_title"), cfg, col("url"), site = "l1_primary")
 
     // resolved = extract present and long enough (P14 needs_fallback gate,
     // wikipedia/service.py:998-1004; the same minimal-extract criterion is
@@ -253,8 +309,10 @@ object Linking {
 
     // L2 (fallback 1): other-language wiki via Wikidata sitelinks (L8/L9
     // mechanism); only consulted where stage 1 is unresolved
-    val s2a = dictJoin(s1, prep.links2, s1("qid"), col("sl_qid"), cfg, s1("url"))
-    val s2 = dictJoin(s2a, prep.secondary, col("sl_title"), col("w2_title"), cfg, s2a("url"))
+    val s2a = dictJoin(s1, prep.links2, s1("qid"), col("sl_qid"), cfg, s1("url"),
+      site = "l2_sitelinks")
+    val s2 = dictJoin(s2a, prep.secondary, col("sl_title"), col("w2_title"), cfg, s2a("url"),
+      site = "l2_secondary")
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
     // L3/L4 are GATED single-pass joins, not filter+union branches: a
@@ -268,42 +326,71 @@ object Linking {
 
     // L3 (fallback 2): opensearch suggestion pick (prep.osPick is built
     // entirely DICTIONARY-side — key space: all Wikidata primary-language
-    // labels + redirect targets, the gazetteer's canonical vocabulary)
+    // labels + redirect targets, the gazetteer's canonical vocabulary).
+    // The lookup term is U2-cleaned first (trailing "(qualifier)" dropped,
+    // whitespace collapsed) — the reference's clean_title applied to
+    // retry lookups (translation_utils.py:123).
     val needs3 = !(ok1 || ok2)
     val s3 = dictJoin(s2, prep.osPick,
-      when(needs3, lower(col("w_lookup"))), col("os_hit_key"), cfg, col("url"))
+      when(needs3, cleanTitleCol(lower(col("w_lookup")))), col("os_hit_key"),
+      cfg, col("url"), site = "l3_opensearch")
     val ok3 = col("os_extract").isNotNull // null unless needs3 (gated key)
 
     // L4 (fallback 3): synonym retry (prep.synPick: synonym table composed
     // with the title dictionary, dictionary-side)
     val needs4 = !(ok1 || ok2 || ok3)
     val s4 = dictJoin(s3, prep.synPick,
-      when(needs4, col("entity")), col("syn_hit_term"), cfg, col("url"))
+      when(needs4, col("entity")), col("syn_hit_term"), cfg, col("url"),
+      site = "l4_synonym")
     val ok4 = col("syn_extract").isNotNull
 
     // L5 (fallback 4): deterministic "scrape" = the page text already
     // extracted by the S2 UDF in the extract pass (carried on DocOut so the
-    // 100 TB html column is read exactly once in the whole pipeline). The
-    // scrape table is DOCUMENT-scale, not dictionary-scale, so here the
-    // remainder IS physically narrowed (split/union — the one branch point:
-    // resolved rows never enter the scrape shuffle). shuffle_hash beats
-    // sort-merge: url keys are high-cardinality and skewless, so hashing
-    // the (smaller) scrape side avoids sorting the fat entity rows.
+    // 100 TB html column is read exactly once in the whole pipeline).
+    // Preferred path (Pipeline.run): the entity rows CARRY `p_extract`
+    // from the docOut explode — zero join, zero shuffle, and the link
+    // prefix is evaluated exactly once (the previous filter/union split
+    // re-executed the whole L1-L4 join tree for each branch: the round-2
+    // scaling bottleneck). Compat path (callers passing a separate scrapes
+    // table, e.g. materialized stage tables): the same GATED single-pass
+    // join as L3/L4 — a NULL key for already-resolved rows, so only the
+    // unresolved remainder can match; probe rows spread by the row-unique
+    // salt, never by the (mostly null) key.
     val needs5 = !(ok1 || ok2 || ok3 || ok4)
-    val resolved = s4.filter(!needs5)
-      .withColumn("p_extract", lit(null).cast("string"))
-    val un5 = s4.filter(needs5)
-      .join(scrapes.hint("shuffle_hash"), col("url") === col("p_url"), "left")
-      .drop("p_url")
-    val ok5 = col("p_extract").isNotNull && length(col("p_extract")) >= minLen
+    val s5 =
+      if (s4.columns.contains("p_extract")) s4
+      else dictJoin(s4, scrapes, when(needs5, col("url")), col("p_url"),
+        cfg, col("url"), site = "l5_scrapes").drop("p_url")
+    val ok5 = needs5 && col("p_extract").isNotNull &&
+      length(col("p_extract")) >= minLen
 
-    val all = resolved.unionByName(un5)
+    val all = s5
+
+    // L7 wikipedia_multilang (models/data_models.py:22-33 +
+    // wikipedia/service.py:405-458): per-language {label, url, description}
+    // for the primary/secondary pair, built from the already-joined
+    // dictionaries — the primary entry reflects the de-language page that
+    // resolved (L1/L3/L4 are all primary-language pages), the secondary
+    // entry the sitelinked page whenever it exists. Entries with no page
+    // are filtered out (the reference omits absent languages).
+    def mlEntry(label: Column, url: Column, descr: Column): Column =
+      when(label.isNotNull, struct(label.as("label"), url.as("url"),
+        descr.as("description")))
+    val mlPrimary = mlEntry(
+      when(ok3, col("os_title")).when(ok4, col("syn_title")).otherwise(col("w_title")),
+      when(ok3, col("os_url")).when(ok4, col("syn_url")).otherwise(col("w_url")),
+      when(ok3, col("os_extract")).when(ok4, col("syn_extract")).otherwise(col("w_extract")))
+    val mlSecondary = mlEntry(col("w2_title"), col("w2_url"), col("w2_extract"))
+    val multilang = map_filter(
+      map(lit(cfg.language), mlPrimary, lit(secondaryLang), mlSecondary),
+      (_, v) => v.isNotNull).as("wiki_multilang")
 
     // P13 language-consistency gate (service.py:971-981): a page found in
     // the wrong language (L2) keeps status=found but its url is demoted to
     // url_alt; the primary url slot stays empty.
-    val keep = entities.columns.map(col).toIndexedSeq
+    val keep = entities.columns.filter(_ != "p_extract").map(col).toIndexedSeq
     all.select(keep ++ Seq(
+      multilang,
       when(ok1, col("w_extract"))
         .when(ok2, col("w2_extract"))
         .when(ok3, col("os_extract"))
@@ -346,45 +433,68 @@ object Linking {
   }
 
   /** Dictionary-side referenced-label enrichment
-    * (wikidata/service.py:205-235): the per-row referenced-id arrays
-    * (instance_of, part_of) become array<struct<id,label>> by a SELF-JOIN
-    * ON THE DICTIONARY — explode the dict's id arrays, join the (qid,
-    * de-label) projection, regroup by position. O(dictionary), runs before
-    * any fat entity row is touched; never collects to the driver (the
-    * round-1 version materialized the full label map driver-side — a
-    * driver OOM at the 10^8-row dictionary scale). */
+    * (wikidata/service.py:205-235 + formatters.py:155-250 full flat
+    * projection): the per-row referenced-id arrays (instance_of,
+    * subclass_of, part_of, has_part) become array<struct<id,label>> by a
+    * SELF-JOIN ON THE DICTIONARY — explode the dict's id arrays, join the
+    * (qid, de-label) projection, regroup by position. The scalar L12
+    * properties (coordinates, image, dates, website, gnd, isni) ride along
+    * as plain columns. O(dictionary), runs before any fat entity row is
+    * touched; never collects to the driver (the round-1 version
+    * materialized the full label map driver-side — a driver OOM at the
+    * 10^8-row dictionary scale). */
   def enrichWdDict(wd: DataFrame, cfg: KgConfig): DataFrame = {
+    val scalarCols = Seq("aliases", "coordinates", "image_url",
+      "date_of_birth", "date_founded", "date_of_death", "end_time",
+      "official_website", "gnd_id", "isni_id")
     val labels = wd.select(col("qid").as("ref_qid"),
       element_at(col("labels"), "de").as("ref_label"))
-    val base = wd.select(col("qid").as("wd_qid"),
+    val base = wd.select(Seq(col("qid").as("wd_qid"),
       col("labels").as("wd_labels"), col("descriptions").as("wd_descriptions"),
-      col("instance_of").as("wd_instance_of_ids"), col("part_of").as("wd_part_of_ids"))
+      col("instance_of").as("wd_instance_of_ids"),
+      col("subclass_of").as("wd_subclass_of_ids"),
+      col("part_of").as("wd_part_of_ids"),
+      col("has_part").as("wd_has_part_ids")) ++
+      scalarCols.map(c => col(c).as(s"wd_$c")): _*)
+    // each array is coalesced before transform: concat returns NULL if ANY
+    // input is NULL, so one null id array would silently drop the row's
+    // OTHER enrichments too
+    def tagged(c: Column, tag: String): Column =
+      transform(coalesce(c, array().cast("array<string>")),
+        x => struct(lit(tag).as("src"), x.as("id")))
     val pairs = base.select(col("wd_qid"),
       posexplode(concat(
-        transform(col("wd_instance_of_ids"), x => struct(lit("i").as("src"), x.as("id"))),
-        transform(col("wd_part_of_ids"), x => struct(lit("p").as("src"), x.as("id")))))
+        tagged(col("wd_instance_of_ids"), "i"),
+        tagged(col("wd_subclass_of_ids"), "s"),
+        tagged(col("wd_part_of_ids"), "p"),
+        tagged(col("wd_has_part_ids"), "h")))
         .as(Seq("pos", "sid")))
       .select(col("wd_qid"), col("pos"),
         col("sid.src").as("src"), col("sid.id").as("id"))
     val joined = dictJoin(pairs, labels, col("id"), col("ref_qid"), cfg,
-      xxhash64(col("wd_qid"), col("pos")))
+      xxhash64(col("wd_qid"), col("pos")), site = "wd_ref_labels")
+    def regroupedOf(tag: String, name: String): Column =
+      transform(filter(col("all"), x => x("src") === tag),
+        x => struct(x("id").as("id"), x("label").as("label"))).as(name)
     val regrouped = joined
       .groupBy("wd_qid")
       .agg(array_sort(collect_list(struct(col("pos"), col("src"),
         col("id"), col("ref_label").as("label")))).as("all"))
       .select(col("wd_qid").as("g_qid"),
-        transform(filter(col("all"), x => x("src") === "i"),
-          x => struct(x("id").as("id"), x("label").as("label"))).as("g_instance_of"),
-        transform(filter(col("all"), x => x("src") === "p"),
-          x => struct(x("id").as("id"), x("label").as("label"))).as("g_part_of"))
+        regroupedOf("i", "g_instance_of"), regroupedOf("s", "g_subclass_of"),
+        regroupedOf("p", "g_part_of"), regroupedOf("h", "g_has_part"))
     // dict rows with empty id arrays drop out of the explode — restore them
     // with empty enrichments via a dict-scale left join
+    def restored(g: String, name: String): Column =
+      coalesce(col(g),
+        array().cast("array<struct<id:string,label:string>>")).as(name)
     base.join(regrouped, col("wd_qid") === col("g_qid"), "left")
-      .select(col("wd_qid"), col("wd_labels"), col("wd_descriptions"),
-        coalesce(col("g_instance_of"),
-          array().cast("array<struct<id:string,label:string>>")).as("wd_instance_of"),
-        coalesce(col("g_part_of"),
-          array().cast("array<struct<id:string,label:string>>")).as("wd_part_of"))
+      .select(Seq(col("wd_qid"), col("wd_labels"), col("wd_descriptions"),
+        restored("g_instance_of", "wd_instance_of"),
+        restored("g_subclass_of", "wd_subclass_of"),
+        restored("g_part_of", "wd_part_of"),
+        restored("g_has_part", "wd_has_part")) ++
+        scalarCols.map(c => col(s"wd_$c")): _*)
   }
 
   /** L9-L12: Wikidata enrichment — qid from gazetteer/wiki pageprops, then
@@ -393,7 +503,8 @@ object Linking {
       cfg: KgConfig): DataFrame = {
     val withKey = linked.withColumn("wd_key",
       coalesce(col("qid"), col("wiki_wikidata_id")))
-    dictJoin(withKey, prep.enrichedWd, col("wd_key"), col("wd_qid"), cfg, col("url"))
+    dictJoin(withKey, prep.enrichedWd, col("wd_key"), col("wd_qid"), cfg, col("url"),
+      site = "wd_enriched")
       .withColumn("wd_status",
         when(col("wd_qid").isNotNull, lit("found")).otherwise(lit("not_found")))
       .drop("wd_key")
@@ -414,7 +525,7 @@ object Linking {
         coalesce(element_at(col("wd_labels"), "en"), col("entity")))
       .withColumn("dbp_uri", uriUdf(col("dbp_label_src")))
     val joined = dictJoin(withUri, prep.dbpSel,
-      col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"))
+      col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"), site = "dbp_strict")
     val strictOk = col("dbp_uri").isNotNull && col("dbp_label").isNotNull &&
       col("dbp_abstract").isNotNull
 
@@ -424,7 +535,8 @@ object Linking {
     // filter+union, which would re-execute the whole upstream link chain
     // per branch)
     val withLookup = dictJoin(joined, prep.lookupPick,
-      when(!strictOk, lower(col("dbp_label_src"))), col("lk_key"), cfg, col("url"))
+      when(!strictOk, lower(col("dbp_label_src"))), col("lk_key"), cfg, col("url"),
+      site = "dbp_lookup")
     val lookupOk = col("lk_uri").isNotNull &&
       // the Lookup hit must not be the same resource the construction
       // already tried (that one failed strict)
@@ -448,12 +560,19 @@ object Linking {
         when(col("__strict"), col("dbp_types")).when(col("__lookup"), col("lk_types")))
       .withColumn("dbp_categories",
         when(col("__strict"), col("dbp_categories")).when(col("__lookup"), col("lk_categories")))
+      .withColumn("dbp_subjects",
+        when(col("__strict"), col("dbp_subjects")).when(col("__lookup"), col("lk_subjects")))
+      .withColumn("dbp_part_of",
+        when(col("__strict"), col("dbp_part_of")).when(col("__lookup"), col("lk_part_of")))
+      .withColumn("dbp_has_part",
+        when(col("__strict"), col("dbp_has_part")).when(col("__lookup"), col("lk_has_part")))
       .withColumn("dbp_uri",
         when(col("__lookup"), col("lk_uri")).otherwise(col("dbp_uri")))
       .withColumn("dbp_status",
         when(col("__strict") || col("__lookup"), lit("linked")).otherwise(lit("not_found")))
       .drop("dbp_uri_dict", "dbp_label_src", "lk_key", "lk_uri", "lk_label",
-        "lk_abstract", "lk_types", "lk_categories", "__strict", "__lookup")
+        "lk_abstract", "lk_types", "lk_categories", "lk_subjects",
+        "lk_part_of", "lk_has_part", "__strict", "__lookup")
   }
 
   /** Full L-chain: Wikipedia → Wikidata → DBpedia (orchestrator order),
@@ -491,15 +610,36 @@ object Linking {
           col("wiki_extract").as("extract"),
           col("wiki_categories").as("categories"), col("wiki_links").as("internal_links"),
           col("wiki_wikidata_id").as("wikidata_id"),
+          col("wiki_multilang").as("multilang"),
           col("wiki_fallback_source").as("fallback_source"),
           col("wiki_status").as("status")).as("wikipedia"),
-        struct(col("wd_qid").as("id"), col("wd_labels").as("labels"),
+        // full L12 flat projection (wikidata/formatters.py:88-250)
+        struct(col("wd_qid").as("id"),
+          when(col("wd_qid").isNotNull,
+            concat(lit("https://www.wikidata.org/wiki/"), col("wd_qid"))).as("url"),
+          col("wd_labels").as("labels"),
           col("wd_descriptions").as("descriptions"),
-          col("wd_instance_of").as("instance_of"), col("wd_part_of").as("part_of"),
+          col("wd_aliases").as("aliases"),
+          col("wd_instance_of").as("instance_of"),
+          col("wd_subclass_of").as("subclass_of"),
+          col("wd_part_of").as("part_of"),
+          col("wd_has_part").as("has_part"),
+          col("wd_coordinates").as("coordinates"),
+          col("wd_image_url").as("image_url"),
+          col("wd_date_of_birth").as("date_of_birth"),
+          col("wd_date_founded").as("date_founded"),
+          col("wd_date_of_death").as("date_of_death"),
+          col("wd_end_time").as("end_time"),
+          col("wd_official_website").as("official_website"),
+          col("wd_gnd_id").as("gnd_id"),
+          col("wd_isni_id").as("isni_id"),
           col("wd_status").as("status")).as("wikidata"),
         struct(col("dbp_uri").as("uri"), col("dbp_label").as("label"),
           col("dbp_abstract").as("abstract"), col("dbp_types").as("types"),
           col("dbp_categories").as("categories"),
+          col("dbp_subjects").as("subjects"),
+          col("dbp_part_of").as("part_of"),
+          col("dbp_has_part").as("has_part"),
           col("dbp_fallback_source").as("fallback_source"),
           col("dbp_status").as("status")).as("dbpedia")).as("sources"),
       col("freq"))

@@ -72,24 +72,31 @@ object Pipeline {
       .toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // entities/edges are persisted NARROW: the link join tree and the
-    // statistics branches scan them several times
-    val entities = docOut.select(explode(col("entities")).as("e")).select("e.*")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edges are persisted NARROW: the statistics passes scan them twice
     val edges = docOut.select(explode(col("triples")).as("t")).select("t.*")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- link stage: Wikipedia → Wikidata → DBpedia dictionary joins ----
+    // The link input is an UNCACHED projection straight off the docOut
+    // cache: the gated single-pass chain consumes it exactly once, so a
+    // second (entities) cache would only add a BlockManager round-trip —
+    // the round-2 scaling profile showed cache fill/read as the bound.
+    // Each entity row carries its document's `p_extract` (the L5 scrape
+    // text) from the same cached docOut row, eliminating the L5 join +
+    // the former filter/union split that re-executed the L1-L4 prefix.
+    val entities = docOut.select(
+        when(length(col("scrape")) > 0, col("scrape")).as("p_extract"),
+        explode(col("entities")).as("e"))
+      .select(col("e.*"), col("p_extract"))
+    val prep = prepared.getOrElse(
+      Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,
+        dicts.synonyms, cfg))
     // nodes are persisted: statistics runs several aggregates over them and
     // must not re-execute the join chain per aggregate (at scale this stage
     // is written to a table first — runMaterialized — which serves the same
     // purpose)
-    val scrapes = docOut.select(col("url").as("p_url"),
-      when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
-    val prep = prepared.getOrElse(
-      Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,
-        dicts.synonyms, cfg))
-    val nodes = Linking.linkAll(spark, entities, prep, scrapes, cfg)
+    val nodes = Linking.linkAll(spark, entities, prep,
+        scrapes = spark.emptyDataFrame, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- canonicalize: connected components over alias/redirect edges ----
@@ -98,9 +105,23 @@ object Pipeline {
     val components = ConnectedComponents.run(spark, aliasEdges.union(redirectEdges))
 
     // ---- statistics + lineage metrics ----
+    // dictJoin path decisions (broadcast vs salted, with the size evidence)
+    // are recorded at plan-construction time — surfaced as metric rows so
+    // plan drift at scale is observable in the run output, not just in
+    // executor logs
     val metrics = Statistics.compute(spark, nodes, edges, runId)
+      .unionByName(joinDecisionRows(spark, runId))
 
     Result(nodes, edges, components, metrics)
+  }
+
+  private def joinDecisionRows(spark: SparkSession, runId: String): DataFrame = {
+    import spark.implicits._
+    Linking.drainJoinDecisions().map { d =>
+      MetricRow(runId, "link_plan",
+        if (d.broadcast) "dict_join_broadcast" else "dict_join_salted",
+        d.site, d.estBytes.toDouble)
+    }.toDF()
   }
 
   /** Input fingerprint WITHOUT scanning the data (north_rule snapshot-based
@@ -155,7 +176,8 @@ object Pipeline {
 
     val metrics = tables.write(
       Statistics.compute(spark, nodes, edgesRaw, runId, cacheNarrow = false)
-        .unionByName(tables.partitionLineage(edgesRaw, runId, "extract_edges")),
+        .unionByName(tables.partitionLineage(edgesRaw, runId, "extract_edges"))
+        .unionByName(joinDecisionRows(spark, runId)),
       "kg_metrics", runId, "metrics", fp)
 
     Result(nodes, edgesRaw, components, metrics)

@@ -93,7 +93,13 @@ final case class RedirectRow(from_title: String, to_title: String, lang: String)
   * _COMMON_SYNONYMS semantics; rank = the list order the reference tries). */
 final case class SynonymRow(term: String, synonym: String, rank: Int)
 
-/** Wikidata dictionary row (wikidata/formatters.py:37-51 property selection). */
+/** Coordinate pair (P625 — wikidata/formatters.py:196-203). */
+final case class CoordRow(latitude: Double, longitude: Double)
+
+/** Wikidata dictionary row (wikidata/formatters.py:37-51 property
+  * selection: the full flat projection the reference formats —
+  * formatters.py:155-250). Scalar properties default to absent so
+  * fixture construction sites only state what they exercise. */
 final case class WdEntityRow(
     qid: String,
     labels: Map[String, String],
@@ -103,15 +109,29 @@ final case class WdEntityRow(
     subclass_of: Seq[String],   // P279
     part_of: Seq[String],       // P361
     has_part: Seq[String],      // P527
-    sitelinks: Map[String, String])
+    sitelinks: Map[String, String],
+    coordinates: Option[CoordRow] = None, // P625
+    image_url: String = null,             // P18
+    date_of_birth: String = null,         // P569
+    date_founded: String = null,          // P571
+    date_of_death: String = null,         // P570
+    end_time: String = null,              // P582
+    official_website: String = null,      // P856
+    gnd_id: String = null,                // P227
+    isni_id: String = null)               // P213
 
-/** DBpedia dictionary row (SPARQL SELECT fields, dbpedia/fetchers.py:93-152). */
+/** DBpedia dictionary row (SPARQL SELECT fields, dbpedia/fetchers.py:93-152:
+  * uri, label, abstract, rdf:type, dct:subject (categories AND subjects),
+  * dbo:hasPart/isPartOf). */
 final case class DbpediaRow(
     uri: String,
     label_en: String,
     abstract_en: String,
     types: Seq[String],
-    categories: Seq[String])
+    categories: Seq[String],
+    subjects: Seq[String] = Nil,
+    part_of: Seq[String] = Nil,
+    has_part: Seq[String] = Nil)
 
 /** Metrics row (per run/stage/partition lineage — north_rule). */
 final case class MetricRow(

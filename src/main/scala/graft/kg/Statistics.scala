@@ -32,16 +32,35 @@ object Statistics {
   def compute(spark: SparkSession, nodesFull: DataFrame, edges: DataFrame,
       runId: String, cacheNarrow: Boolean = true): DataFrame = {
 
+    // Every array is coalesced HERE: pass 2 concat()s them into one explode,
+    // and Spark's concat returns NULL if ANY input array is NULL — a single
+    // null array (e.g. instance_of on a wd_status=not_found node) would
+    // silently erase the row from every counter family in the pass.
+    def arr(c: Column): Column = coalesce(c, array().cast("array<string>"))
+    // DBpedia families count only status=="linked" rows and project labels
+    // from the URIs (P11) — context_statistics_top10.py:217-370
+    def dbpArr(c: Column): Column =
+      when(col("sources.dbpedia.status") === "linked",
+        transform(arr(c), u => Linking.labelFromUri(u))).otherwise(array())
     val narrow = nodesFull.select(
       col("details.typ").as("typ"),
+      col("details.inferred").as("ent_inferred"),
       col("sources.wikipedia.status").as("wp_status"),
       col("sources.wikidata.status").as("wd_status"),
       col("sources.dbpedia.status").as("dbp_status"),
       col("sources.wikipedia.fallback_source").as("wp_fallback"),
       col("sources.dbpedia.fallback_source").as("dbp_fb"),
-      col("sources.wikipedia.categories").as("categories"),
-      col("sources.wikipedia.internal_links").as("internal_links"),
-      col("sources.wikidata.instance_of.label").as("inst_labels"))
+      arr(col("sources.wikipedia.categories")).as("categories"),
+      arr(col("sources.wikipedia.internal_links")).as("internal_links"),
+      arr(col("sources.wikidata.instance_of.label")).as("inst_labels"),
+      arr(col("sources.wikidata.subclass_of.label")).as("subclass_labels"),
+      arr(col("sources.wikidata.part_of.label")).as("partof_labels"),
+      arr(col("sources.wikidata.has_part.label")).as("haspart_labels"),
+      dbpArr(col("sources.dbpedia.types")).as("dbp_types"),
+      dbpArr(col("sources.dbpedia.categories")).as("dbp_categories"),
+      dbpArr(col("sources.dbpedia.subjects")).as("dbp_subjects"),
+      dbpArr(col("sources.dbpedia.part_of")).as("dbp_partof"),
+      dbpArr(col("sources.dbpedia.has_part")).as("dbp_haspart"))
     val nodes = if (cacheNarrow)
       narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else narrow
@@ -50,17 +69,21 @@ object Statistics {
       struct(metric.cast("string").as("metric"), key.cast("string").as("key"),
         value.cast("double").as("value"))
 
-    // ---- pass 1: A1 + A3 in ONE aggregate — totals, linked counts +
-    // percents (DBpedia counts only status=="linked", wikipedia/wikidata
-    // count found — context_statistics.py:44-48, :114-152; percent rounding
-    // parity: round(100*c/total, 1) HALF_UP == the reference's round(.,1))
+    // ---- pass 1: A1 + A3 + A8-entities in ONE aggregate — totals, linked
+    // counts + percents (DBpedia counts only status=="linked",
+    // wikipedia/wikidata count found — context_statistics.py:44-48,
+    // :114-152) and the entity_inference count/percent pair
+    // (context_statistics_top10.py:454-480). Percent rounding parity: the
+    // reference's Python round(.,1) is banker's rounding → bround.
     def pct(c: Column) = when(col("total") === 0, 0.0)
-      .otherwise(round(lit(100.0) * c / col("total"), 1))
+      .otherwise(bround(lit(100.0) * c / col("total"), 1))
     val linked = nodes.agg(
         count(lit(1)).cast("double").as("total"),
         sum(when(col("wp_status") === "found", 1.0).otherwise(0.0)).as("wp"),
         sum(when(col("wd_status") === "found", 1.0).otherwise(0.0)).as("wd"),
-        sum(when(col("dbp_status") === "linked", 1.0).otherwise(0.0)).as("dbp"))
+        sum(when(col("dbp_status") === "linked", 1.0).otherwise(0.0)).as("dbp"),
+        sum(when(col("ent_inferred") === "implicit", 1.0).otherwise(0.0)).as("ent_impl"))
+      .withColumn("ent_expl", col("total") - col("ent_impl"))
       .select(explode(array(
         row(lit("total"), lit("entities"), col("total")),
         row(lit("linked_count"), lit("wikipedia"), col("wp")),
@@ -68,7 +91,11 @@ object Statistics {
         row(lit("linked_count"), lit("dbpedia"), col("dbp")),
         row(lit("linked_percent"), lit("wikipedia"), pct(col("wp"))),
         row(lit("linked_percent"), lit("wikidata"), pct(col("wd"))),
-        row(lit("linked_percent"), lit("dbpedia"), pct(col("dbp"))))).as("m"))
+        row(lit("linked_percent"), lit("dbpedia"), pct(col("dbp"))),
+        row(lit("entity_inference"), lit("explicit"), col("ent_expl")),
+        row(lit("entity_inference"), lit("implicit"), col("ent_impl")),
+        row(lit("entity_inference_percent"), lit("explicit"), pct(col("ent_expl"))),
+        row(lit("entity_inference_percent"), lit("implicit"), pct(col("ent_impl"))))).as("m"))
       .select("m.*")
 
     // ---- pass 2: all node-side counters in ONE explode+groupBy.
@@ -78,18 +105,29 @@ object Statistics {
     // context_statistics_top10.py:56; rank filter only on top10_* metrics)
     def mk(metric: String, key: Column) =
       struct(lit(metric).as("metric"), key.as("key"))
+    def mkArr(metric: String, c: Column) =
+      transform(c, x => struct(lit(metric).as("metric"), x.as("key")))
     val nodeCounters = nodes.select(explode(concat(
         array(
           mk("types_distribution", coalesce(col("typ"), lit("Unknown"))),
           mk("wikipedia_fallback_dist", coalesce(col("wp_fallback"), lit("none"))),
           mk("dbpedia_fallback_dist", coalesce(col("dbp_fb"), lit("none")))),
-        transform(col("categories"), c =>
-          struct(lit("top10_categories").as("metric"), c.as("key"))),
-        transform(col("internal_links"), c =>
-          struct(lit("top10_internal_links").as("metric"), c.as("key"))),
-        transform(col("inst_labels"), c =>
-          struct(lit("top10_instance_of").as("metric"), c.as("key"))))).as("mk"))
+        mkArr("top10_categories", col("categories")),
+        mkArr("top10_internal_links", col("internal_links")),
+        mkArr("top10_instance_of", col("inst_labels")),
+        mkArr("top10_subclass_of", col("subclass_labels")),
+        mkArr("top10_part_of", col("partof_labels")),
+        mkArr("top10_has_part", col("haspart_labels")),
+        mkArr("top10_dbpedia_types", col("dbp_types")),
+        mkArr("top10_dbpedia_categories", col("dbp_categories")),
+        mkArr("top10_dbpedia_subjects", col("dbp_subjects")),
+        mkArr("top10_dbpedia_part_of", col("dbp_partof")),
+        mkArr("top10_dbpedia_has_part", col("dbp_haspart")))).as("mk"))
       .select(col("mk.metric").as("metric"), col("mk.key").as("key"))
+      // a null key = a referenced id whose label did not resolve in the
+      // dictionary; the reference skips label-less references
+      // (context_statistics_top10.py:115-121)
+      .filter(col("key").isNotNull)
       .groupBy("metric", "key").agg(count(lit(1)).cast("double").as("value"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("metric").orderBy(col("value").desc, col("key").asc)))
@@ -105,11 +143,19 @@ object Statistics {
         mk("relationships_inferred", lower(col("inferred"))))).as("mk"))
       .select(col("mk.metric").as("metric"), col("mk.key").as("key"))
       .groupBy("metric", "key").agg(count(lit(1)).cast("double").as("value"))
+    // relationship_inference percent pair (context_statistics.py:177-184):
+    // derived from the (tiny) grouped rows via a window sum — no extra scan
     val edgeCounters = edgeGrouped
       .withColumn("rk", row_number().over(
         Window.partitionBy("metric").orderBy(col("value").desc, col("key").asc)))
       .filter(!col("metric").startsWith("top10_") || col("rk") <= 10)
-      .select(row(col("metric"), col("key"), col("value")).as("m"))
+      .withColumn("tot", sum(when(col("metric") === "relationships_inferred",
+        col("value"))).over(Window.partitionBy(lit(1))))
+      .select(explode(when(col("metric") === "relationships_inferred", array(
+          row(col("metric"), col("key"), col("value")),
+          row(lit("relationships_inferred_percent"), col("key"),
+            bround(lit(100.0) * col("value") / col("tot"), 1))))
+        .otherwise(array(row(col("metric"), col("key"), col("value"))))).as("m"))
       .select("m.*")
     val relTotal = edgeGrouped
       .filter(col("metric") === "relationships_inferred")

@@ -300,6 +300,17 @@ object SyntheticCorpus {
     } ++ persons.flatMap { p =>
       lastAlias.get(p.idx).map(ln => RedirectRow(ln, p.name, "de"))
     }
+    // type-class entities (Q5 human, Q515 city, ...) carry the labels the
+    // instance_of/subclass_of enrichment resolves against — empty
+    // descriptions so they contribute nothing to the IDF corpus shape
+    val typeEntities = Seq(
+      ("Q5", "Mensch", "human"), ("Q515", "Stadt", "city"),
+      ("Q43229", "Organisation", "organization"),
+      ("Q386724", "Werk", "work"), ("Q151885", "Begriff", "concept"))
+      .map { case (q, de, en) =>
+        WdEntityRow(q, Map("de" -> de, "en" -> en), Map.empty, Map.empty,
+          Nil, Nil, Nil, Nil, Map.empty)
+      }
     val wdEntities = entities.map { e =>
       val head = entities(e.idx - e.idx % 5) // group head for part_of
       WdEntityRow(
@@ -310,26 +321,47 @@ object SyntheticCorpus {
           "en" -> s"a ${e.typ}"),
         aliases = Map("de" -> Seq(e.name.toLowerCase(java.util.Locale.ROOT))),
         instance_of = Seq(typeQid(e.typ)),
-        subclass_of = Nil,
+        // group heads are classes: subclass of their type class (P279)
+        subclass_of = if (e.idx % 5 == 0) Seq(typeQid(e.typ)) else Nil,
         part_of = if (e.idx % 5 != 0) Seq(head.qid) else Nil,
         has_part = if (e.idx % 5 == 0) entities.filter(x => x.idx / 5 == e.idx / 5 && x.idx != e.idx).map(_.qid) else Nil,
         sitelinks =
           if (e.idx % 20 == 17) Map("dewiki" -> s"${e.name} (Ausführlich)")
-          else Map("dewiki" -> e.name, "enwiki" -> s"${e.name} (en)"))
-    }
+          else Map("dewiki" -> e.name, "enwiki" -> s"${e.name} (en)"),
+        // L12 scalar properties, deterministic per type/idx
+        // (wikidata/formatters.py:196-250 flat projection)
+        coordinates = if (e.typ == "Ort")
+          Some(CoordRow(47.0 + (e.idx % 90) / 10.0, 8.0 + (e.idx % 180) / 10.0))
+          else None,
+        image_url = if (e.idx % 2 == 0) s"https://commons.example/img-${e.idx}.jpg" else null,
+        date_of_birth = if (e.typ == "Person") f"+${1850 + e.idx % 150}%04d-01-01T00:00:00Z" else null,
+        date_founded = if (e.typ == "Organisation") f"+${1800 + e.idx % 200}%04d-06-01T00:00:00Z" else null,
+        date_of_death = if (e.typ == "Person" && e.idx % 3 == 0) f"+${1920 + e.idx % 100}%04d-12-31T00:00:00Z" else null,
+        end_time = if (e.typ == "Organisation" && e.idx % 4 == 2) f"+${1990 + e.idx % 30}%04d-01-01T00:00:00Z" else null,
+        official_website = if (e.typ == "Organisation") s"https://org-${e.idx}.example" else null,
+        gnd_id = if (e.typ == "Person") s"gnd-${100000 + e.idx}" else null,
+        isni_id = if (e.typ == "Person" && e.idx % 2 == 1) f"0000 0001 ${e.idx}%04d 0000" else null)
+    } ++ typeEntities
     val dbpedia = entities.collect {
       // ~30% missing the en abstract → status "not_found" under the strict
       // linked criterion (dbpedia/service.py:271-276). idx%9==3 resources
       // live under a DISAMBIGUATED name (construction from the en label
       // misses) → linkable only via the S6 Lookup fallback.
       case e if e.idx % 3 != 2 =>
+        val head = entities(e.idx - e.idx % 5)
+        def res(n: String) = s"http://dbpedia.org/resource/${n.replace(' ', '_')}"
         DbpediaRow(
           uri = TextUtils.dbpediaUri(
             if (e.idx % 9 == 3) s"${e.name} (Begriff)" else e.name),
           label_en = e.name,
           abstract_en = if (e.idx % 3 == 0) s"${e.name} is a ${e.typ} in the corpus." else null,
           types = Seq(s"dbo:${e.typ}"),
-          categories = Seq(s"dbc:${e.typ}s"))
+          categories = Seq(s"dbc:${e.typ}s"),
+          subjects = Seq(s"http://dbpedia.org/resource/Category:${e.typ}_topics"),
+          part_of = if (e.idx % 5 != 0) Seq(res(head.name)) else Nil,
+          has_part = if (e.idx % 5 == 0)
+            entities.filter(x => x.idx / 5 == e.idx / 5 && x.idx != e.idx)
+              .map(x => res(x.name)) else Nil)
     }
     val _ = detRng
     Corpus(pages, entities, aliasRows.toSeq, patterns, wikiPages, redirects,

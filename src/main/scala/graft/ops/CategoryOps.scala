@@ -34,11 +34,7 @@ object CategoryOps {
       .select(col("p_partkey"),
         concat(lit("http://dbpedia.org/resource/Category:"),
           regexp_replace(col("p_name"), " ", "_")).as("uri"))
-      .withColumn("label",
-        regexp_replace(
-          regexp_replace(
-            regexp_extract(col("uri"), "([^/]+)$", 1), "^Category:", ""),
-          "_", " "))
+      .withColumn("label", Linking.labelFromUri(col("uri")))
       .select("p_partkey", "uri", "label")
       .orderBy("p_partkey")
 

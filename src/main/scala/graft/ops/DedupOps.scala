@@ -110,22 +110,24 @@ object DedupOps {
   }
 
   /** SimHash: 32-bit signature; bit j is the sign of the count-weighted sum
-    * of md5-derived word bits. Near-identical docs share most bits. */
+    * of md5-derived word bits. Near-identical docs share most bits.
+    *
+    * Scale shape: ONE groupBy(doc_id) carrying 32 sum() aggregates — the
+    * per-bit sums combine map-side, so the shuffle moves one partial row
+    * per (doc, partition) instead of the previous 32×-exploded word rows
+    * (two shuffles, one of them 32× the word count). Summing ±1 per word
+    * INSTANCE equals the count-weighted sum per distinct word, so the
+    * word-level pre-aggregation shuffle is dropped too. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = t(spark, dir, "documents")
+    val inst = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
-      .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-    words
-      .select(col("doc_id"), col("c"), col("wd"),
-        explode(expr("sequence(1, 32)")).as("j"))
-      .withColumn("contrib",
-        col("c") * when(expr("substring(md5(wd), j, 1)") >= "8", 1L).otherwise(-1L))
-      .groupBy("doc_id", "j")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bit", when(col("s") > 0, "1").otherwise("0"))
-      .groupBy("doc_id")
-      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(j, bit))), x -> x.bit))")
-        .as("simhash"))
+      .withColumn("h", md5(col("wd")))
+    val sums = (1 to 32).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
+    inst.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(j =>
+          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
       .orderBy("doc_id")
   }
 

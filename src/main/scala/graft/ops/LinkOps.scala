@@ -62,10 +62,16 @@ object LinkOps {
       WdEntityRow(qid, Map("de" -> term, "en" -> term),
         Map("de" -> s"Begriff $term"), Map.empty,
         instance_of = if (term == "customer") Seq("Q100", "Q101") else Nil,
-        subclass_of = Nil,
+        subclass_of = if (term == "customer") Seq("Q101") else Nil,
         part_of = if (term == "filter") Seq("Q101") else Nil,
-        has_part = Nil,
-        sitelinks = if (term == "join") Map("enwiki" -> "join (en)") else Map.empty)
+        has_part = if (term == "filter") Seq("Q100") else Nil,
+        sitelinks = if (term == "join") Map("enwiki" -> "join (en)") else Map.empty,
+        // L12 scalar cases: one term per property family
+        coordinates = if (term == "customer") Some(CoordRow(48.1, 11.5)) else None,
+        image_url = if (term == "customer") "https://commons.example/cust.jpg" else null,
+        date_founded = if (term == "join") "+2000-01-01T00:00:00Z" else null,
+        official_website = if (term == "merge") "https://merge.example" else null,
+        gnd_id = if (term == "customer") "gnd-777" else null)
     } ++ Seq(
       WdEntityRow("Q100", Map("de" -> "konzept100"), Map.empty, Map.empty,
         Nil, Nil, Nil, Nil, Map.empty),
@@ -105,9 +111,22 @@ object LinkOps {
       col("sources.wikipedia.fallback_source").as("wp_fallback"),
       col("sources.wikipedia.url").as("wp_url"),
       col("sources.wikipedia.url_alt").as("wp_url_alt"),
+      // L7 multilang entries (primary label always tracks the resolved
+      // de-language page; en present only for the sitelinked L2 case)
+      expr("try_element_at(sources.wikipedia.multilang, 'de').label").as("ml_de_label"),
+      expr("try_element_at(sources.wikipedia.multilang, 'en').url").as("ml_en_url"),
       col("sources.wikidata.status").as("wd_status"),
+      col("sources.wikidata.url").as("wd_url"),
       expr("try_element_at(sources.wikidata.instance_of, 1).label").as("inst1"),
+      expr("try_element_at(sources.wikidata.subclass_of, 1).label").as("sub1"),
       expr("try_element_at(sources.wikidata.part_of, 1).label").as("part1"),
+      expr("try_element_at(sources.wikidata.has_part, 1).label").as("hp1"),
+      // L12 scalar projection cases
+      col("sources.wikidata.coordinates.latitude").as("wd_lat"),
+      col("sources.wikidata.image_url").as("wd_image"),
+      col("sources.wikidata.date_founded").as("wd_founded"),
+      col("sources.wikidata.official_website").as("wd_website"),
+      col("sources.wikidata.gnd_id").as("wd_gnd"),
       col("sources.dbpedia.status").as("dbp_status"),
       col("sources.dbpedia.uri").as("dbp_uri"),
       col("sources.dbpedia.fallback_source").as("dbp_fallback"))
@@ -149,9 +168,31 @@ object LinkOps {
              WHEN 'window' THEN 'https://de.wikipedia.org/wiki/window_manager'
            END AS wp_url,
            CASE term WHEN 'join' THEN 'https://en.wikipedia.org/wiki/join' END AS wp_url_alt,
+           CASE term
+             WHEN 'customer' THEN 'customer'
+             WHEN 'filter' THEN 'filtern'
+             WHEN 'join' THEN 'join'
+             WHEN 'merge' THEN 'merge sort'
+             WHEN 'spark' THEN 'funke'
+             WHEN 'table' THEN 'table'
+             WHEN 'window' THEN 'window manager'
+           END AS ml_de_label,
+           CASE term WHEN 'join' THEN 'https://en.wikipedia.org/wiki/join' END AS ml_en_url,
            'found' AS wd_status,
+           'https://www.wikidata.org/wiki/' || CASE term
+             WHEN 'customer' THEN 'Q1' WHEN 'filter' THEN 'Q2'
+             WHEN 'join' THEN 'Q3' WHEN 'merge' THEN 'Q4'
+             WHEN 'spark' THEN 'Q5' WHEN 'stream' THEN 'Q6'
+             WHEN 'table' THEN 'Q7' WHEN 'window' THEN 'Q8' END AS wd_url,
            CASE term WHEN 'customer' THEN 'konzept100' END AS inst1,
+           CASE term WHEN 'customer' THEN 'konzept101' END AS sub1,
            CASE term WHEN 'filter' THEN 'konzept101' END AS part1,
+           CASE term WHEN 'filter' THEN 'konzept100' END AS hp1,
+           CAST(CASE term WHEN 'customer' THEN 48.1 END AS DOUBLE) AS wd_lat,
+           CASE term WHEN 'customer' THEN 'https://commons.example/cust.jpg' END AS wd_image,
+           CASE term WHEN 'join' THEN '+2000-01-01T00:00:00Z' END AS wd_founded,
+           CASE term WHEN 'merge' THEN 'https://merge.example' END AS wd_website,
+           CASE term WHEN 'customer' THEN 'gnd-777' END AS wd_gnd,
            CASE term WHEN 'customer' THEN 'linked' WHEN 'filter' THEN 'linked'
                 ELSE 'not_found' END AS dbp_status,
            CASE term

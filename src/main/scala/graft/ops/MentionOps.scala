@@ -52,7 +52,7 @@ object MentionOps {
     * driver-visible extract→link→relate run, hash-compared against a golden
     * parquet dumped by the INDEPENDENT Scala oracle (graft.kg.Oracle) in
     * Verify — the driver's DuckDB oracle reads that file. */
-  def kgPipelineTriples(spark: SparkSession, dir: String): DataFrame = {
+  def kgPipeline(spark: SparkSession, cfg: KgConfig): DataFrame = {
     import spark.implicits._
     // pages generated DISTRIBUTED on executors (PageFactory) — only the
     // dictionaries are driver-built, mirroring the real pipeline entry
@@ -60,25 +60,42 @@ object MentionOps {
     val pages = spark.range(100).repartition(8)
       .mapPartitions(it => it.map(i => factory.page(i.toInt)))
     val res = Pipeline.run(spark, pages,
-      Pipeline.dictsFromCorpus(spark, SyntheticCorpus.generate(0)),
-      KgConfig.default)
+      Pipeline.dictsFromCorpus(spark, SyntheticCorpus.generate(0)), cfg)
     res.edges.select("url", "subject", "predicate", "object", "inferred")
       .orderBy("url", "subject", "predicate", "object", "inferred")
   }
 
+  def kgPipelineTriples(spark: SparkSession, dir: String): DataFrame =
+    kgPipeline(spark, KgConfig.default)
+
+  /** P12 type restrictions + E4 standalone implied-entity stage exercised
+    * end-to-end (both default-off in KgConfig.default, so the flagship
+    * query never reaches them); golden-diffed against the independent
+    * oracle run with the SAME cfg (Verify.writeGoldens). */
+  def kgPipelineRestricted(spark: SparkSession, dir: String): DataFrame =
+    kgPipeline(spark, KgConfig.default.copy(
+      allowedEntityTypes = Some(Set("Person", "Ort", "Organisation")),
+      inferEntities = true))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_mentions"         -> kgMentions _,
-    "kg_mention_topk"     -> kgMentionTopk _,
-    "kg_pipeline_triples" -> kgPipelineTriples _)
+    "kg_mentions"            -> kgMentions _,
+    "kg_mention_topk"        -> kgMentionTopk _,
+    "kg_pipeline_triples"    -> kgPipelineTriples _,
+    "kg_pipeline_restricted" -> kgPipelineRestricted _)
 
   private val termList = Terms.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  // golden parquet written by graft.Verify from the independent oracle;
+  // path shared with Verify through graft.kg.Golden (env-overridable, no
+  // hardcoded checkout location)
+  private def goldenSql(name: String): String =
+    s"""SELECT url, subject, predicate, "object", inferred
+       FROM read_parquet('${graft.kg.Golden.path(name)}/*.parquet')
+       ORDER BY url, subject, predicate, "object", inferred"""
+
   val oracles: Map[String, String] = Map(
-    // golden parquet written by graft.Verify from the independent oracle
-    "kg_pipeline_triples" ->
-      """SELECT url, subject, predicate, "object", inferred
-         FROM read_parquet('/root/repo/golden/kg_pipeline_triples/*.parquet')
-         ORDER BY url, subject, predicate, "object", inferred""",
+    "kg_pipeline_triples" -> goldenSql("kg_pipeline_triples"),
+    "kg_pipeline_restricted" -> goldenSql("kg_pipeline_restricted"),
     "kg_mentions" ->
       s"""SELECT doc_id, t AS term,
          CAST(len(regexp_extract_all(text, '\\b' || t || '\\b')) AS BIGINT) AS n

@@ -30,8 +30,13 @@ object UrlOps {
       .withColumn("no_ellipsis", stripEll(concat(col("p_name"), lit("..."))))
       .withColumn("parsed", parse(col("wiki_url")))
       .withColumn("nonwiki", parse(lit("https://example.com/page/1")))
+      // U2 clean_title (the same column expression the L3 lookup path
+      // applies): trailing qualifier dropped, whitespace collapsed+trimmed
+      .withColumn("clean_title", graft.kg.Linking.cleanTitleCol(
+        concat(lit("  "), regexp_replace(col("p_name"), " ", "   "),
+          lit(" (Begriff)"))))
       .select(col("p_partkey"), col("wiki_url"), col("is_valid"),
-        col("dbpedia_uri"), col("no_ellipsis"),
+        col("dbpedia_uri"), col("no_ellipsis"), col("clean_title"),
         col("parsed._1").as("parsed_lang"), col("parsed._2").as("parsed_title"),
         col("nonwiki._1").as("nonwiki_lang"), col("nonwiki._2").as("nonwiki_title"))
       .orderBy("p_partkey")
@@ -62,6 +67,7 @@ object UrlOps {
          'http://dbpedia.org/resource/' || upper(substr(replace(p_name, ' ', '_'), 1, 1))
            || substr(replace(p_name, ' ', '_'), 2) AS dbpedia_uri,
          p_name AS no_ellipsis,
+         p_name AS clean_title,
          'de' AS parsed_lang,
          p_name AS parsed_title,
          '' AS nonwiki_lang,
