@@ -34,3 +34,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
 )
+// ad-hoc JVM flags for probes (e.g. -Xlog:gc, GC selection) without
+// editing the build
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -145,9 +145,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 720k pages: large enough that per-job fixed costs (driver planning,
-    // broadcast hash builds, stage scheduling) amortize into the scan
-    val kgPages = sys.env.getOrElse("SPARK_GRAFT_KG_PAGES", "720000").toInt
+    // 1.08M pages: large enough that per-job fixed costs (driver planning,
+    // broadcast hash builds, stage scheduling) amortize into the scan —
+    // fixed costs deflate the measured 8→32 efficiency (eff = (W/8+f) /
+    // (4·(W/32+f)) rises toward the true value as W/f grows). Scaled DOWN
+    // when the heap is small: the docOut/nodes caches for 1.08M pages need
+    // ~25 GB of storage memory, and MEMORY_AND_DISK spill turns the run
+    // into a disk benchmark (measured 5x collapse at a 24g heap).
+    val heapG = Runtime.getRuntime.maxMemory >> 30
+    val defaultPages =
+      if (heapG >= 80) 1080000 else if (heapG >= 40) 720000 else 360000
+    val kgPages = sys.env.get("SPARK_GRAFT_KG_PAGES").map(_.toInt)
+      .getOrElse(defaultPages)
 
     // ---- part 1: headline queries at local[cpus] ----
     val headline = Seq(
@@ -184,7 +193,7 @@ object Bench {
       graft.kg.Pipeline.dictsFromCorpus(s, graft.kg.SyntheticCorpus.generate(0)))
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_KG_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_KG_REPS", "3").toInt
     val runs = scala.collection.mutable.Map[Int,
       List[(Double, Double, Double, Long)]](8 -> Nil, 32 -> Nil)
     val hostRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -195,7 +204,9 @@ object Bench {
         val s = session(n)
         val prep = prepFor(s)
         kgRun(s, math.max(kgPages / 40, 500), Some(prep)) // per-session warmup
-        runs(n) = kgRun(s, kgPages, Some(prep)) :: runs(n)
+        val r = kgRun(s, kgPages, Some(prep))
+        System.err.println(f"[bench] rep=$rep local[$n]: ${r._3}%.2fs (${r._1}%.0f pages/s)")
+        runs(n) = r :: runs(n)
         if (rep == reps && n == 32) gazStats = gazProbe(s)
         s.stop()
       }
@@ -220,20 +231,37 @@ object Bench {
     val (pS, _, sS, _) = saltedRun
     val (gazBuild, gazMb, gazBc) = gazStats
 
-    val eff = (s8 / s32) / 4.0
+    // Efficiency from PER-PAIR ratios, median over reps — NOT min-per-level.
+    // The shared host has minutes-long steal bursts; min-per-level can pair
+    // a quiet-window T8 with a burst-window T32 from a DIFFERENT rep
+    // (observed: "efficiency" 0.198 with local[32] slower than local[8] —
+    // physically impossible for this job on a quiet host). The two runs of
+    // one rep are adjacent in time and share weather, so their ratio
+    // cancels the burst; the median over reps rejects the pair whose
+    // 8-half (inflating) or 32-half (deflating) caught a burst edge.
+    val pairEffs = runs(8).reverse.zip(runs(32).reverse).map {
+      case ((_, _, a8, _), (_, _, a32, _)) => (a8 / a32) / 4.0
+    }
+    pairEffs.zipWithIndex.foreach { case (e, i) =>
+      System.err.println(f"[bench] pair ${i + 1} efficiency: $e%.3f")
+    }
+    val eff = median(pairEffs)
+    val effMinLevel = (s8 / s32) / 4.0
     // host ceilings: the machine's own 8→32 scaling for ALU-bound work
     // (cpuScore) and bandwidth-bound work (memScore) — both ≤ 4.0 on an
     // unloaded host; a scan+shuffle pipeline lands between them
     val hostRatio = median(hostRatios.toSeq)
     val memRatio = median(memRatios.toSeq)
-    val effNorm = (s8 / s32) / hostRatio
-    val effNormMem = (s8 / s32) / memRatio
+    val effNorm = eff * 4.0 / hostRatio
+    val effNormMem = eff * 4.0 / memRatio
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scaling =
       f"""{"pages":$kgPages,"local8":{"sec":$s8%.2f,"pages_per_s":$p8%.1f,"triples_per_s":$t8%.1f},""" +
       f""""local32":{"sec":$s32%.2f,"pages_per_s":$p32%.1f,"triples_per_s":$t32%.1f},""" +
-      f""""efficiency":$eff%.3f,"host_cpu_ratio_8_to_32":$hostRatio%.2f,""" +
+      f""""efficiency":$eff%.3f,"efficiency_minlevel":$effMinLevel%.3f,""" +
+      f""""pair_efficiencies":[${pairEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+      f""""host_cpu_ratio_8_to_32":$hostRatio%.2f,""" +
       f""""host_mem_ratio_8_to_32":$memRatio%.2f,""" +
       f""""efficiency_host_normalized":$effNorm%.3f,""" +
       f""""efficiency_mem_normalized":$effNormMem%.3f,""" +
@@ -269,8 +297,12 @@ object Bench {
          |at 100 TB, where they exceed the broadcast budget) — the measured
          |cost of the at-scale join shape, not just a parity proof.
          |
-         |Raw scaling efficiency T8/(4·T32) = **$eff%.3f** (target ≥ 0.8 on a
-         |real cluster).
+         |Raw scaling efficiency (median over reps of the per-rep adjacent
+         |T8/(4·T32) pair ratio — adjacent runs share host weather, so the
+         |ratio cancels steal bursts that min-per-level would mix across
+         |windows) = **$eff%.3f** (target ≥ 0.8 on a real cluster; pairs:
+         |${pairEffs.map(e => f"$e%.3f").mkString(", ")}; naive min-per-level
+         |formula gives $effMinLevel%.3f).
          |
          |**Host ceilings**: this sandbox VM is shared/overcommitted (bursty
          |CPU steal; single memory bus). Its own 8→32-thread scaling:

@@ -54,12 +54,16 @@ object Linking {
         regexp_extract(uri, "([^/]+)$", 1), "^Category:", ""),
       "_", " ")
 
-  /** P8 + P9: strip namespace prefix, drop maintenance categories. */
+  /** P8 + P9: strip namespace prefix, drop maintenance categories — a
+    * native array expression ([[graft.functions.CleanCategories]]): the
+    * filter(transform(...)) form re-evaluated 26 interpreted startsWith
+    * probes per element per node (HOFs are CodegenFallback). */
   def cleanCategories(categories: Column): Column = {
-    val stripped = transform(categories,
-      c => regexp_replace(c, "^(Category:|Kategorie:|Catégorie:)", ""))
-    filter(stripped, c =>
-      !MaintenanceKeywords.map(k => c.startsWith(lit(k))).reduce(_ || _))
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "clean_categories",
+      args => graft.functions.CleanCategories(args.head), "built-in")
+    call_function("clean_categories", categories)
   }
 
   private def containsMap(dt: DataType): Boolean = dt match {
@@ -373,17 +377,20 @@ object Linking {
     // resolved (L1/L3/L4 are all primary-language pages), the secondary
     // entry the sitelinked page whenever it exists. Entries with no page
     // are filtered out (the reference omits absent languages).
-    def mlEntry(label: Column, url: Column, descr: Column): Column =
-      when(label.isNotNull, struct(label.as("label"), url.as("url"),
-        descr.as("description")))
-    val mlPrimary = mlEntry(
+    // Built as map_concat of conditionally-empty single-entry maps — NOT
+    // map(...)+map_filter, whose lambda is an interpreted HOF per node.
+    val mlEmpty = map().cast(
+      "map<string,struct<label:string,url:string,description:string>>")
+    def mlEntry(lang: String, label: Column, url: Column, descr: Column): Column =
+      when(label.isNotNull, map(lit(lang), struct(label.as("label"),
+        url.as("url"), descr.as("description")))).otherwise(mlEmpty)
+    val mlPrimary = mlEntry(cfg.language,
       when(ok3, col("os_title")).when(ok4, col("syn_title")).otherwise(col("w_title")),
       when(ok3, col("os_url")).when(ok4, col("syn_url")).otherwise(col("w_url")),
       when(ok3, col("os_extract")).when(ok4, col("syn_extract")).otherwise(col("w_extract")))
-    val mlSecondary = mlEntry(col("w2_title"), col("w2_url"), col("w2_extract"))
-    val multilang = map_filter(
-      map(lit(cfg.language), mlPrimary, lit(secondaryLang), mlSecondary),
-      (_, v) => v.isNotNull).as("wiki_multilang")
+    val mlSecondary = mlEntry(secondaryLang,
+      col("w2_title"), col("w2_url"), col("w2_extract"))
+    val multilang = map_concat(mlPrimary, mlSecondary).as("wiki_multilang")
 
     // P13 language-consistency gate (service.py:971-981): a page found in
     // the wrong language (L2) keeps status=found but its url is demoted to

@@ -59,7 +59,8 @@ object Pipeline {
       cfg: KgConfig = KgConfig.default,
       runId: String = "local",
       useHtml: Boolean = true,
-      prepared: Option[Linking.Prepared] = None): Result = {
+      prepared: Option[Linking.Prepared] = None,
+      cacheNodes: Boolean = true): Result = {
     import spark.implicits._
 
     // ---- extract stage: fused map pass (E1-E3, R1-R4, D3, D6) ----
@@ -91,13 +92,19 @@ object Pipeline {
     val prep = prepared.getOrElse(
       Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,
         dicts.synonyms, cfg))
-    // nodes are persisted: statistics runs several aggregates over them and
-    // must not re-execute the join chain per aggregate (at scale this stage
-    // is written to a table first — runMaterialized — which serves the same
-    // purpose)
-    val nodes = Linking.linkAll(spark, entities, prep,
-        scrapes = spark.emptyDataFrame, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nodes are persisted by default: statistics runs several aggregates
+    // over them and must not re-execute the join chain per aggregate (at
+    // scale this stage is written to a table first — runMaterialized —
+    // which serves the same purpose). `cacheNodes=false` is for consumers
+    // that only materialize `metrics`: statistics then reads the link plan
+    // COLUMN-PRUNED through the broadcast joins (the fat extract/multilang
+    // payload is never computed or stored), with its own narrow persist
+    // deduplicating the four passes.
+    val nodesPlan = Linking.linkAll(spark, entities, prep,
+      scrapes = spark.emptyDataFrame, cfg)
+    val nodes = if (cacheNodes)
+      nodesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else nodesPlan
 
     // ---- canonicalize: connected components over alias/redirect edges ----
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")

@@ -2,7 +2,9 @@ package graft.kg
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch scaling probe: repeated whole-pipeline runs at one parallelism.
+/** Scratch scaling probe: repeated whole-pipeline runs at one parallelism
+  * with per-stage timing of the REAL Pipeline.run plan (extract cache fill,
+  * edges, link chain, cc, statistics).
   * Usage: runMain graft.kg.ScaleProbe <cpus> <nPages> <reps> */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -11,6 +13,8 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -31,31 +35,14 @@ object ScaleProbe {
         .mapPartitions(it => it.map(i => factory.page(i.toInt)))
       val t0 = System.nanoTime()
       println(s"[scale] rep=$r")
-      val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
-          dicts.wdPartOf, KgConfig.default, useHtml = true, descByQid = dicts.wdDesc)
-        .toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t("extract")(docOut.count())
-      val entities = docOut.select(org.apache.spark.sql.functions.explode($"entities").as("e")).select("e.*")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edgesDf = docOut.select(org.apache.spark.sql.functions.explode($"triples").as("t")).select("t.*")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val e = t("edges")(edgesDf.count())
-      val scrapes = docOut.select(org.apache.spark.sql.functions.col("url").as("p_url"),
-        org.apache.spark.sql.functions.when(
-          org.apache.spark.sql.functions.length($"scrape") > 0, $"scrape").as("p_extract"))
-      val nodes = t("link") {
-        val n = Linking.linkAll(spark, entities, prep, scrapes, KgConfig.default)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        n.count(); n
-      }
-      t("cc") {
-        val ae = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
-        val re = dicts.redirects.select($"from_title".as("src"), $"to_title".as("dst"))
-        ConnectedComponents.run(spark, ae.union(re)).count()
-      }
-      t("stats")(Statistics.compute(spark, nodes, edgesDf, "probe").count())
-      t("stats-warm")(Statistics.compute(spark, nodes, edgesDf, "probe").count())
+      val noNodeCache = sys.env.get("SPARK_GRAFT_NO_NODE_CACHE").contains("1")
+      val res = Pipeline.run(spark, pages, dicts, prepared = Some(prep),
+        cacheNodes = !noNodeCache)
+      val e = t("edges(extract+cache)")(res.edges.count())
+      if (!noNodeCache) t("nodes(link)")(res.nodes.count())
+      t("cc")(res.components.count())
+      t("stats")(res.metrics.count())
+      t("stats-warm")(res.metrics.count())
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scale] cpus=$cpus pages=$nPages rep=$r: $secs%.2fs (${nPages / secs}%.0f pages/s, ${e / secs}%.0f triples/s)")
       spark.sparkContext.getPersistentRDDs

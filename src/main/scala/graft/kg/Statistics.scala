@@ -36,12 +36,17 @@ object Statistics {
     // and Spark's concat returns NULL if ANY input array is NULL — a single
     // null array (e.g. instance_of on a wd_status=not_found node) would
     // silently erase the row from every counter family in the pass.
+    // NO higher-order functions anywhere in this projection: transform/
+    // filter are CodegenFallback (interpreted per element) — at 10^6 pages
+    // the interpreted evals dominated the whole stats stage (thread-dump
+    // verified). Gating and the P11 label projection are plain codegen'd
+    // conditionals applied before/after the explode instead.
     def arr(c: Column): Column = coalesce(c, array().cast("array<string>"))
-    // DBpedia families count only status=="linked" rows and project labels
-    // from the URIs (P11) — context_statistics_top10.py:217-370
+    // DBpedia families count only status=="linked" rows —
+    // context_statistics_top10.py:217-370 (P11 applied post-explode)
     def dbpArr(c: Column): Column =
-      when(col("sources.dbpedia.status") === "linked",
-        transform(arr(c), u => Linking.labelFromUri(u))).otherwise(array())
+      when(col("sources.dbpedia.status") === "linked", arr(c))
+        .otherwise(array().cast("array<string>"))
     val narrow = nodesFull.select(
       col("details.typ").as("typ"),
       col("details.inferred").as("ent_inferred"),
@@ -102,28 +107,52 @@ object Statistics {
     // A2 types_distribution ("Unknown" default — :106-112), A10 fallback
     // distributions (wikipedia/service.py:786-931 batch stats), A4/A5/A6
     // top-10 exploded counters (tie-break: count desc, key asc —
-    // context_statistics_top10.py:56; rank filter only on top10_* metrics)
+    // context_statistics_top10.py:56; rank filter only on top10_* metrics).
+    //
+    // Codegen shape: ONE posexplode over a concat of the RAW string arrays;
+    // the metric name is recovered from the POSITION against cumulative
+    // family sizes with a when-chain — every expression here compiles into
+    // whole-stage codegen (the obvious transform-into-struct tagging is an
+    // interpreted HOF per element and was the dominant stats cost).
     def mk(metric: String, key: Column) =
       struct(lit(metric).as("metric"), key.as("key"))
-    def mkArr(metric: String, c: Column) =
-      transform(c, x => struct(lit(metric).as("metric"), x.as("key")))
-    val nodeCounters = nodes.select(explode(concat(
-        array(
-          mk("types_distribution", coalesce(col("typ"), lit("Unknown"))),
-          mk("wikipedia_fallback_dist", coalesce(col("wp_fallback"), lit("none"))),
-          mk("dbpedia_fallback_dist", coalesce(col("dbp_fb"), lit("none")))),
-        mkArr("top10_categories", col("categories")),
-        mkArr("top10_internal_links", col("internal_links")),
-        mkArr("top10_instance_of", col("inst_labels")),
-        mkArr("top10_subclass_of", col("subclass_labels")),
-        mkArr("top10_part_of", col("partof_labels")),
-        mkArr("top10_has_part", col("haspart_labels")),
-        mkArr("top10_dbpedia_types", col("dbp_types")),
-        mkArr("top10_dbpedia_categories", col("dbp_categories")),
-        mkArr("top10_dbpedia_subjects", col("dbp_subjects")),
-        mkArr("top10_dbpedia_part_of", col("dbp_partof")),
-        mkArr("top10_dbpedia_has_part", col("dbp_haspart")))).as("mk"))
-      .select(col("mk.metric").as("metric"), col("mk.key").as("key"))
+    val families: Seq[(String, Column)] = Seq(
+      "types_distribution" -> array(coalesce(col("typ"), lit("Unknown"))),
+      "wikipedia_fallback_dist" -> array(coalesce(col("wp_fallback"), lit("none"))),
+      "dbpedia_fallback_dist" -> array(coalesce(col("dbp_fb"), lit("none"))),
+      "top10_categories" -> col("categories"),
+      "top10_internal_links" -> col("internal_links"),
+      "top10_instance_of" -> col("inst_labels"),
+      "top10_subclass_of" -> col("subclass_labels"),
+      "top10_part_of" -> col("partof_labels"),
+      "top10_has_part" -> col("haspart_labels"),
+      "top10_dbpedia_types" -> col("dbp_types"),
+      "top10_dbpedia_categories" -> col("dbp_categories"),
+      "top10_dbpedia_subjects" -> col("dbp_subjects"),
+      "top10_dbpedia_part_of" -> col("dbp_partof"),
+      "top10_dbpedia_has_part" -> col("dbp_haspart"))
+    // cumulative upper boundary of each family within the concatenated
+    // row, materialized ONCE per node as scalar columns BEFORE the explode
+    // (inlining the cumulative size sums into the per-row when-chain
+    // re-evaluated O(families²) size()+array constructions per exploded
+    // row — measured 5x slower than the HOF version it replaced)
+    val bounds: Seq[Column] = families.map(_._2)
+      .scanLeft(lit(0): Column)((acc, c) => acc + size(c)).tail
+    val metricOfPos: Column = families.map(_._1).zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (name, i)) =>
+        val cond = col("pos") < col(s"__b$i")
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }.get
+    val nodeCounters = nodes
+      .select(col("*") +:
+        bounds.zipWithIndex.map { case (b, i) => b.as(s"__b$i") }: _*)
+      .select(col("*"),
+        posexplode(concat(families.map(_._2): _*)).as(Seq("pos", "rawkey")))
+      .select(metricOfPos.as("metric"),
+        // P11 label projection for the dbpedia families, post-explode on
+        // the scalar (codegen'd regexps) — context_statistics_top10.py:234
+        when(col("pos") >= col("__b8"), Linking.labelFromUri(col("rawkey")))
+          .otherwise(col("rawkey")).as("key"))
       // a null key = a referenced id whose label did not resolve in the
       // dictionary; the reference skips label-less references
       // (context_statistics_top10.py:115-121)
