@@ -193,13 +193,23 @@ object Bench {
       graft.kg.Pipeline.dictsFromCorpus(s, graft.kg.SyntheticCorpus.generate(0)))
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_KG_REPS", "3").toInt
+    // Rep count is WALL-CLOCK-BUDGETED: at least 2 pairs, up to maxReps
+    // while under the budget — on a quiet host all reps run; under steal
+    // bursts (a single 8-level run was observed at 3x its quiet time) the
+    // loop stops early instead of blowing past the driver's patience.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_KG_REPS", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
     val runs = scala.collection.mutable.Map[Int,
       List[(Double, Double, Double, Long)]](8 -> Nil, 32 -> Nil)
     val hostRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     val memRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     var gazStats = (0.0, 0.0, 0.0)
-    (1 to reps).foreach { rep =>
+    val part2Start = System.nanoTime()
+    def part2Elapsed = (System.nanoTime() - part2Start) / 1e9
+    var rep = 0
+    var continueReps = true
+    while (continueReps) {
+      rep += 1
       Seq(8, 32).foreach { n =>
         val s = session(n)
         val prep = prepFor(s)
@@ -207,22 +217,33 @@ object Bench {
         val r = kgRun(s, kgPages, Some(prep))
         System.err.println(f"[bench] rep=$rep local[$n]: ${r._3}%.2fs (${r._1}%.0f pages/s)")
         runs(n) = r :: runs(n)
-        if (rep == reps && n == 32) gazStats = gazProbe(s)
         s.stop()
       }
       hostRatios += cpuScore(32) / cpuScore(8)
       memRatios += memScore(32) / memScore(8)
+      continueReps = rep < maxReps && (rep < 2 || part2Elapsed < budgetSec)
+    }
+    // gazetteer probe in its own short session (not tied to the last rep)
+    locally {
+      val s = session(32)
+      gazStats = gazProbe(s)
+      s.stop()
     }
     // 100 TB join-path evidence (one run, local[32]): the SAME pipeline
     // with every dictionary join FORCED onto the salted shuffle-hash path
     // — the plan shape the wiki/wd dictionaries take at 10^8 dictionary
     // rows, measured rather than only parity-proven
+    // run at kgPages/3: the salted row is join-SHAPE evidence (relative
+    // cost of 9 shuffled dictionary joins), not a scaling claim — a third
+    // of the corpus bounds its wall-clock share of the bench
     val saltedRun = {
       val s = session(32)
       val prep = prepFor(s)
       val salted = graft.kg.KgConfig.default.copy(forceSaltedJoins = true)
-      kgRun(s, math.max(kgPages / 40, 500), Some(prep), salted) // warmup
-      val r = kgRun(s, kgPages, Some(prep), salted)
+      val saltedPages = math.max(kgPages / 3, 10000)
+      kgRun(s, math.max(saltedPages / 20, 500), Some(prep), salted) // warmup
+      val r = kgRun(s, saltedPages, Some(prep), salted)
+      System.err.println(f"[bench] salted local[32] (${saltedPages} pages): ${r._3}%.2fs")
       s.stop()
       r
     }
@@ -265,7 +286,7 @@ object Bench {
       f""""host_mem_ratio_8_to_32":$memRatio%.2f,""" +
       f""""efficiency_host_normalized":$effNorm%.3f,""" +
       f""""efficiency_mem_normalized":$effNormMem%.3f,""" +
-      f""""salted_local32":{"sec":$sS%.2f,"pages_per_s":$pS%.1f},""" +
+      f""""salted_local32":{"pages":${math.max(kgPages / 3, 10000)},"sec":$sS%.2f,"pages_per_s":$pS%.1f},""" +
       f""""gazetteer_1m":{"build_sec":$gazBuild%.2f,"mb":$gazMb%.1f,"broadcast_sec":$gazBc%.2f}}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_scaling":$scaling}""")
@@ -290,12 +311,14 @@ object Bench {
          ||---|---|---|---|---|
          || local[8]  | $s8%.2f | $p8%.1f | $t8%.1f | $n8 |
          || local[32] | $s32%.2f | $p32%.1f | $t32%.1f | $n32 |
-         || local[32], forceSaltedJoins | $sS%.2f | $pS%.1f | — | — |
+         || local[32], forceSaltedJoins (kgPages/3 corpus) | $sS%.2f | $pS%.1f | — | — |
          |
          |The forced-salted row runs every dictionary join on the salted
          |shuffle-hash path (the plan the 10^8-row wiki/wd dictionaries take
          |at 100 TB, where they exceed the broadcast budget) — the measured
-         |cost of the at-scale join shape, not just a parity proof.
+         |cost of the at-scale join shape, not just a parity proof. Compare
+         |it to the broadcast path by pages/s (it runs a third of the
+         |corpus to bound its share of the bench wall-clock).
          |
          |Raw scaling efficiency (median over reps of the per-rep adjacent
          |T8/(4·T32) pair ratio — adjacent runs share host weather, so the
