@@ -260,12 +260,23 @@ object Bench {
     // one rep are adjacent in time and share weather, so their ratio
     // cancels the burst; the median over reps rejects the pair whose
     // 8-half (inflating) or 32-half (deflating) caught a burst edge.
-    val pairEffs = runs(8).reverse.zip(runs(32).reverse).map {
+    val rawPairEffs = runs(8).reverse.zip(runs(32).reverse).map {
       case ((_, _, a8, _), (_, _, a32, _)) => (a8 / a32) / 4.0
     }
-    pairEffs.zipWithIndex.foreach { case (e, i) =>
+    rawPairEffs.zipWithIndex.foreach { case (e, i) =>
       System.err.println(f"[bench] pair ${i + 1} efficiency: $e%.3f")
     }
+    // Sanity guard: a pair ratio above 1.0 is physically impossible for
+    // this job (32 threads can't beat 4× the ideal speedup over 8) — it
+    // means a steal burst hit the 8-thread half. Such pairs are DISCARDED
+    // before the median (capped at 1.0 if every pair is contaminated), and
+    // the conservative min-per-level figure is always reported alongside,
+    // so the headline cannot drift above what the raw data supports.
+    val (validPairs, contaminated) = rawPairEffs.partition(_ <= 1.0)
+    if (contaminated.nonEmpty)
+      System.err.println(s"[bench] discarded ${contaminated.size} pair(s) > 1.0 " +
+        s"(${contaminated.map(e => f"$e%.3f").mkString(", ")}) as steal-burst contamination")
+    val pairEffs = if (validPairs.nonEmpty) validPairs else rawPairEffs.map(math.min(_, 1.0))
     val eff = median(pairEffs)
     val effMinLevel = (s8 / s32) / 4.0
     // host ceilings: the machine's own 8→32 scaling for ALU-bound work
@@ -281,7 +292,8 @@ object Bench {
       f"""{"pages":$kgPages,"local8":{"sec":$s8%.2f,"pages_per_s":$p8%.1f,"triples_per_s":$t8%.1f},""" +
       f""""local32":{"sec":$s32%.2f,"pages_per_s":$p32%.1f,"triples_per_s":$t32%.1f},""" +
       f""""efficiency":$eff%.3f,"efficiency_minlevel":$effMinLevel%.3f,""" +
-      f""""pair_efficiencies":[${pairEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+      f""""pair_efficiencies":[${rawPairEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+      f""""pairs_discarded_gt1":${contaminated.size},""" +
       f""""host_cpu_ratio_8_to_32":$hostRatio%.2f,""" +
       f""""host_mem_ratio_8_to_32":$memRatio%.2f,""" +
       f""""efficiency_host_normalized":$effNorm%.3f,""" +
@@ -323,9 +335,12 @@ object Bench {
          |Raw scaling efficiency (median over reps of the per-rep adjacent
          |T8/(4·T32) pair ratio — adjacent runs share host weather, so the
          |ratio cancels steal bursts that min-per-level would mix across
-         |windows) = **$eff%.3f** (target ≥ 0.8 on a real cluster; pairs:
-         |${pairEffs.map(e => f"$e%.3f").mkString(", ")}; naive min-per-level
-         |formula gives $effMinLevel%.3f).
+         |windows; pairs above the physical ceiling of 1.0 signal a burst on
+         |the 8-thread half and are DISCARDED before the median) =
+         |**$eff%.3f** (target ≥ 0.8 on a real cluster; raw pairs:
+         |${rawPairEffs.map(e => f"$e%.3f").mkString(", ")};
+         |${contaminated.size} discarded as > 1.0; conservative
+         |min-per-level formula gives $effMinLevel%.3f).
          |
          |**Host ceilings**: this sandbox VM is shared/overcommitted (bursty
          |CPU steal; single memory bus). Its own 8→32-thread scaling:

@@ -45,14 +45,24 @@ object Linking {
     trim(regexp_replace(
       regexp_replace(title, "\\s+\\([^)]*\\)$", ""), "\\s+", " "))
 
-  /** P11 label-from-URI (context_statistics_top10.py:234-251
-    * extract_label_from_uri): last path component, Category: prefix
-    * stripped, underscores → spaces. Plain strings pass through. */
-  def labelFromUri(uri: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_extract(uri, "([^/]+)$", 1), "^Category:", ""),
-      "_", " ")
+  /** P11 label-from-URI (context_statistics_top10.py:231-250
+    * extract_label_from_uri), branch-for-branch:
+    *   1. dbpedia resource URIs: strip the prefix; if the remainder starts
+    *      with "Category:", remove ALL occurrences of it (the reference
+    *      uses str.replace); underscores → spaces;
+    *   2. other strings containing '/': last path component, underscores →
+    *      spaces (Category: is NOT stripped on this branch);
+    *   3. plain strings: returned unchanged (underscores kept). */
+  def labelFromUri(uri: Column): Column = {
+    val prefix = "http://dbpedia.org/resource/"
+    val afterPrefix = substring(uri, prefix.length + 1, Int.MaxValue)
+    val dbpLabel = when(afterPrefix.startsWith("Category:"),
+      regexp_replace(afterPrefix, "Category:", "")).otherwise(afterPrefix)
+    when(uri.startsWith(prefix), translate(dbpLabel, "_", " "))
+      .when(uri.contains("/"),
+        translate(regexp_extract(uri, "([^/]+)$", 1), "_", " "))
+      .otherwise(uri)
+  }
 
   /** P8 + P9: strip namespace prefix, drop maintenance categories — a
     * native array expression ([[graft.functions.CleanCategories]]): the
@@ -106,20 +116,39 @@ object Linking {
       joinType).drop("__salt")
   }
 
-  /** One dictJoin plan decision: which path a join site took and the size
-    * evidence behind it. Drained by Pipeline into the metrics table so
-    * plan drift at scale is observable, not silent. */
-  final case class JoinDecision(site: String, broadcast: Boolean,
-      estBytes: BigInt, fromRowCount: Boolean)
-  val recordedJoins = new java.util.concurrent.ConcurrentLinkedQueue[JoinDecision]()
+  /** One dictJoin plan decision: which path a join site took
+    * ("broadcast" | "salted" | "shuffle_hash") and the size evidence behind
+    * it. Surfaced by Pipeline into the metrics table so plan drift at scale
+    * is observable, not silent. */
+  final case class JoinDecision(site: String, path: String,
+      estBytes: BigInt, fromRowCount: Boolean) {
+    def broadcast: Boolean = path == "broadcast"
+  }
 
-  /** Drain all decisions recorded since the last call (plan-construction
-    * time, driver-side — dictJoin decides eagerly when the plan is built). */
-  def drainJoinDecisions(): Seq[JoinDecision] = {
-    val buf = Seq.newBuilder[JoinDecision]
-    var d = recordedJoins.poll()
-    while (d != null) { buf += d; d = recordedJoins.poll() }
-    buf.result()
+  /** Per-run join-decision recorder: created by the caller that will
+    * surface the decisions (Pipeline.run / runMaterialized) and threaded
+    * through the link stage explicitly. The round-3 version was a
+    * JVM-global queue — decisions recorded by a concurrent pipeline, a
+    * bench warm-up, or a prepare() in the same JVM were attributed to
+    * whichever run drained next. */
+  class JoinRecorder {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[JoinDecision]()
+    def add(d: JoinDecision): Unit = q.add(d)
+    /** Drain all decisions recorded so far (plan-construction time,
+      * driver-side — dictJoin decides eagerly when the plan is built). */
+    def drain(): Seq[JoinDecision] = {
+      val buf = Seq.newBuilder[JoinDecision]
+      var d = q.poll()
+      while (d != null) { buf += d; d = q.poll() }
+      buf.result()
+    }
+  }
+  object JoinRecorder {
+    /** Discards all decisions — for callers that don't surface plan
+      * metrics (utility/test call sites). */
+    val noop: JoinRecorder = new JoinRecorder {
+      override def add(d: JoinDecision): Unit = ()
+    }
   }
 
   /** Optimizer estimates at/above this are the "no stats" sentinel
@@ -144,13 +173,14 @@ object Linking {
   def dictJoin(
       probe: DataFrame, dict: DataFrame, probeKey: Column, dictKey: Column,
       cfg: KgConfig, saltSource: Column, joinType: String = "left",
-      site: String = "anon"): DataFrame = {
+      site: String = "anon",
+      rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
     val planEst = dict.queryExecution.optimizedPlan.stats.sizeInBytes
     val (est, fromRows) =
       if (planEst >= NoStatsSentinel) (BigInt(dict.count()) * 512, true)
       else (planEst, false)
     val small = !cfg.forceSaltedJoins && est <= cfg.dictBroadcastMaxBytes
-    recordedJoins.add(JoinDecision(site, small, est, fromRows))
+    rec.add(JoinDecision(site, if (small) "broadcast" else "salted", est, fromRows))
     if (small) probe.join(broadcast(dict), probeKey === dictKey, joinType)
     else saltedJoin(probe, dict, probeKey, dictKey, cfg.nSalt, joinType, Some(saltSource))
   }
@@ -234,7 +264,8 @@ object Linking {
       wd: DataFrame,
       dbp: DataFrame,
       synonyms: DataFrame,
-      cfg: KgConfig): Prepared = {
+      cfg: KgConfig,
+      rec: JoinRecorder = JoinRecorder.noop): Prepared = {
     val minLen = cfg.minExtractLen
     val primary = wiki.filter(col("lang") === cfg.language)
       .select(col("title").as("w_title"), col("url").as("w_url"),
@@ -276,7 +307,7 @@ object Linking {
       primary = primary, secondary = secondary, redir = redir, links2 = links2,
       osPick = opensearchPick(lookupTerms, primary, minLen),
       synPick = synonymPick(synonyms, primary, minLen),
-      enrichedWd = enrichWdDict(wd, cfg),
+      enrichedWd = enrichWdDict(wd, cfg, rec),
       dbpSel = dbpSel, lookupPick = lookupPick)
   }
 
@@ -292,7 +323,8 @@ object Linking {
       entities: DataFrame,
       prep: Prepared,
       scrapes: DataFrame, // (p_url, p_extract): pre-extracted page text (L5)
-      cfg: KgConfig): DataFrame = {
+      cfg: KgConfig,
+      rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
 
     val minLen = cfg.minExtractLen
     val secondaryLang = if (cfg.language == "de") "en" else "de"
@@ -300,11 +332,12 @@ object Linking {
     // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true),
     // then primary-language dictionary join
     val withTitle = dictJoin(entities, prep.redir,
-        entities("entity"), col("from_title"), cfg, entities("url"), site = "l1_redirects")
+        entities("entity"), col("from_title"), cfg, entities("url"),
+        site = "l1_redirects", rec = rec)
       .withColumn("w_lookup", coalesce(col("to_title"), col("entity")))
       .drop("from_title", "to_title")
     val s1 = dictJoin(withTitle, prep.primary,
-      col("w_lookup"), col("w_title"), cfg, col("url"), site = "l1_primary")
+      col("w_lookup"), col("w_title"), cfg, col("url"), site = "l1_primary", rec = rec)
 
     // resolved = extract present and long enough (P14 needs_fallback gate,
     // wikipedia/service.py:998-1004; the same minimal-extract criterion is
@@ -314,9 +347,9 @@ object Linking {
     // L2 (fallback 1): other-language wiki via Wikidata sitelinks (L8/L9
     // mechanism); only consulted where stage 1 is unresolved
     val s2a = dictJoin(s1, prep.links2, s1("qid"), col("sl_qid"), cfg, s1("url"),
-      site = "l2_sitelinks")
+      site = "l2_sitelinks", rec = rec)
     val s2 = dictJoin(s2a, prep.secondary, col("sl_title"), col("w2_title"), cfg, s2a("url"),
-      site = "l2_secondary")
+      site = "l2_secondary", rec = rec)
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
     // L3/L4 are GATED single-pass joins, not filter+union branches: a
@@ -337,7 +370,7 @@ object Linking {
     val needs3 = !(ok1 || ok2)
     val s3 = dictJoin(s2, prep.osPick,
       when(needs3, cleanTitleCol(lower(col("w_lookup")))), col("os_hit_key"),
-      cfg, col("url"), site = "l3_opensearch")
+      cfg, col("url"), site = "l3_opensearch", rec = rec)
     val ok3 = col("os_extract").isNotNull // null unless needs3 (gated key)
 
     // L4 (fallback 3): synonym retry (prep.synPick: synonym table composed
@@ -345,7 +378,7 @@ object Linking {
     val needs4 = !(ok1 || ok2 || ok3)
     val s4 = dictJoin(s3, prep.synPick,
       when(needs4, col("entity")), col("syn_hit_term"), cfg, col("url"),
-      site = "l4_synonym")
+      site = "l4_synonym", rec = rec)
     val ok4 = col("syn_extract").isNotNull
 
     // L5 (fallback 4): deterministic "scrape" = the page text already
@@ -356,15 +389,26 @@ object Linking {
     // prefix is evaluated exactly once (the previous filter/union split
     // re-executed the whole L1-L4 join tree for each branch: the round-2
     // scaling bottleneck). Compat path (callers passing a separate scrapes
-    // table, e.g. materialized stage tables): the same GATED single-pass
-    // join as L3/L4 — a NULL key for already-resolved rows, so only the
-    // unresolved remainder can match; probe rows spread by the row-unique
-    // salt, never by the (mostly null) key.
+    // table, e.g. materialized stage tables): ONE UNSALTED shuffle-hash
+    // join — scrapes is a document-scale table, so dictJoin would always
+    // exceed the broadcast budget and replicate the full page-text table
+    // nSalt× into the shuffle (and eagerly count() it when its plan stats
+    // are missing); its url keys are high-cardinality and skewless, so a
+    // plain hash join is the right shape. Already-resolved rows keep a
+    // per-row NON-matching key (NUL-prefixed url) rather than NULL:
+    // null keys all hash to one reducer, and the resolved majority would
+    // collapse into a single straggler partition.
     val needs5 = !(ok1 || ok2 || ok3 || ok4)
     val s5 =
       if (s4.columns.contains("p_extract")) s4
-      else dictJoin(s4, scrapes, when(needs5, col("url")), col("p_url"),
-        cfg, col("url"), site = "l5_scrapes").drop("p_url")
+      else {
+        rec.add(JoinDecision("l5_scrapes", "shuffle_hash",
+          scrapes.queryExecution.optimizedPlan.stats.sizeInBytes, fromRowCount = false))
+        val l5Key = when(needs5, col("url"))
+          .otherwise(concat(lit("\u0000"), col("url")))
+        s4.join(scrapes.hint("shuffle_hash"), l5Key === col("p_url"), "left")
+          .drop("p_url")
+      }
     val ok5 = needs5 && col("p_extract").isNotNull &&
       length(col("p_extract")) >= minLen
 
@@ -450,7 +494,8 @@ object Linking {
     * touched; never collects to the driver (the round-1 version
     * materialized the full label map driver-side — a driver OOM at the
     * 10^8-row dictionary scale). */
-  def enrichWdDict(wd: DataFrame, cfg: KgConfig): DataFrame = {
+  def enrichWdDict(wd: DataFrame, cfg: KgConfig,
+      rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
     val scalarCols = Seq("aliases", "coordinates", "image_url",
       "date_of_birth", "date_founded", "date_of_death", "end_time",
       "official_website", "gnd_id", "isni_id")
@@ -479,7 +524,7 @@ object Linking {
       .select(col("wd_qid"), col("pos"),
         col("sid.src").as("src"), col("sid.id").as("id"))
     val joined = dictJoin(pairs, labels, col("id"), col("ref_qid"), cfg,
-      xxhash64(col("wd_qid"), col("pos")), site = "wd_ref_labels")
+      xxhash64(col("wd_qid"), col("pos")), site = "wd_ref_labels", rec = rec)
     def regroupedOf(tag: String, name: String): Column =
       transform(filter(col("all"), x => x("src") === tag),
         x => struct(x("id").as("id"), x("label").as("label"))).as(name)
@@ -507,11 +552,11 @@ object Linking {
   /** L9-L12: Wikidata enrichment — qid from gazetteer/wiki pageprops, then
     * ONE dictionary join against the pre-enriched dict (enrichWdDict). */
   def wikidata(spark: SparkSession, linked: DataFrame, prep: Prepared,
-      cfg: KgConfig): DataFrame = {
+      cfg: KgConfig, rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
     val withKey = linked.withColumn("wd_key",
       coalesce(col("qid"), col("wiki_wikidata_id")))
     dictJoin(withKey, prep.enrichedWd, col("wd_key"), col("wd_qid"), cfg, col("url"),
-      site = "wd_enriched")
+      site = "wd_enriched", rec = rec)
       .withColumn("wd_status",
         when(col("wd_qid").isNotNull, lit("found")).otherwise(lit("not_found")))
       .drop("wd_key")
@@ -525,14 +570,15 @@ object Linking {
     * label, first candidate by uri order — the deterministic stand-in for
     * the Lookup service's relevance-ranked first hit. */
   def dbpedia(spark: SparkSession, linked: DataFrame, prep: Prepared,
-      cfg: KgConfig): DataFrame = {
+      cfg: KgConfig, rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
     val uriUdf = udf((label: String) => TextUtils.dbpediaUri(label))
     val withUri = linked
       .withColumn("dbp_label_src",
         coalesce(element_at(col("wd_labels"), "en"), col("entity")))
       .withColumn("dbp_uri", uriUdf(col("dbp_label_src")))
     val joined = dictJoin(withUri, prep.dbpSel,
-      col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"), site = "dbp_strict")
+      col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"), site = "dbp_strict",
+      rec = rec)
     val strictOk = col("dbp_uri").isNotNull && col("dbp_label").isNotNull &&
       col("dbp_abstract").isNotNull
 
@@ -543,7 +589,7 @@ object Linking {
     // per branch)
     val withLookup = dictJoin(joined, prep.lookupPick,
       when(!strictOk, lower(col("dbp_label_src"))), col("lk_key"), cfg, col("url"),
-      site = "dbp_lookup")
+      site = "dbp_lookup", rec = rec)
     val lookupOk = col("lk_uri").isNotNull &&
       // the Lookup hit must not be the same resource the construction
       // already tried (that one failed strict)
@@ -604,10 +650,11 @@ object Linking {
       entities: DataFrame,
       prep: Prepared,
       scrapes: DataFrame,
-      cfg: KgConfig): DataFrame = {
-    val w = wikipedia(spark, entities, prep, scrapes, cfg)
-    val d = wikidata(spark, w, prep, cfg)
-    val b = dbpedia(spark, d, prep, cfg)
+      cfg: KgConfig,
+      rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
+    val w = wikipedia(spark, entities, prep, scrapes, cfg, rec)
+    val d = wikidata(spark, w, prep, cfg, rec)
+    val b = dbpedia(spark, d, prep, cfg, rec)
     b.select(
       col("url"), col("lang"), col("entity_id").as("id"), col("entity"),
       struct(col("entity_type").as("typ"), col("inferred"),

@@ -82,16 +82,34 @@ object Pipeline {
     // cache: the gated single-pass chain consumes it exactly once, so a
     // second (entities) cache would only add a BlockManager round-trip —
     // the round-2 scaling profile showed cache fill/read as the bound.
-    // Each entity row carries its document's `p_extract` (the L5 scrape
-    // text) from the same cached docOut row, eliminating the L5 join +
-    // the former filter/union split that re-executed the L1-L4 prefix.
-    val entities = docOut.select(
-        when(length(col("scrape")) > 0, col("scrape")).as("p_extract"),
-        explode(col("entities")).as("e"))
-      .select(col("e.*"), col("p_extract"))
+    //
+    // Broadcast regime (the small-dictionary gate outcome): each entity
+    // row carries its document's `p_extract` (the L5 scrape text) from the
+    // same cached docOut row — zero L5 join, zero shuffle, and no fat
+    // column ever moves (broadcast joins don't shuffle the probe).
+    // Salted regime (forceSaltedJoins — the at-scale shape where every
+    // dictionary exceeds the broadcast budget): every dictJoin SHUFFLES
+    // the probe side, so carrying the full page text would drag it through
+    // all nine salted exchanges. There the entity rows stay NARROW and the
+    // scrape text is re-attached by ONE unsalted shuffle-hash join at L5
+    // (Linking.wikipedia compat path) — the html-derived text crosses the
+    // wire exactly once.
+    val rec = new Linking.JoinRecorder
+    val carryScrape = !cfg.forceSaltedJoins
+    val entities =
+      if (carryScrape)
+        docOut.select(
+            when(length(col("scrape")) > 0, col("scrape")).as("p_extract"),
+            explode(col("entities")).as("e"))
+          .select(col("e.*"), col("p_extract"))
+      else docOut.select(explode(col("entities")).as("e")).select("e.*")
+    val scrapes =
+      if (carryScrape) spark.emptyDataFrame
+      else docOut.select(col("url").as("p_url"),
+        when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
     val prep = prepared.getOrElse(
       Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,
-        dicts.synonyms, cfg))
+        dicts.synonyms, cfg, rec))
     // nodes are persisted by default: statistics runs several aggregates
     // over them and must not re-execute the join chain per aggregate (at
     // scale this stage is written to a table first — runMaterialized —
@@ -100,8 +118,7 @@ object Pipeline {
     // COLUMN-PRUNED through the broadcast joins (the fat extract/multilang
     // payload is never computed or stored), with its own narrow persist
     // deduplicating the four passes.
-    val nodesPlan = Linking.linkAll(spark, entities, prep,
-      scrapes = spark.emptyDataFrame, cfg)
+    val nodesPlan = Linking.linkAll(spark, entities, prep, scrapes, cfg, rec)
     val nodes = if (cacheNodes)
       nodesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else nodesPlan
@@ -117,17 +134,17 @@ object Pipeline {
     // plan drift at scale is observable in the run output, not just in
     // executor logs
     val metrics = Statistics.compute(spark, nodes, edges, runId)
-      .unionByName(joinDecisionRows(spark, runId))
+      .unionByName(joinDecisionRows(spark, runId, rec))
 
     Result(nodes, edges, components, metrics)
   }
 
-  private def joinDecisionRows(spark: SparkSession, runId: String): DataFrame = {
+  private def joinDecisionRows(spark: SparkSession, runId: String,
+      rec: Linking.JoinRecorder): DataFrame = {
     import spark.implicits._
-    Linking.drainJoinDecisions().map { d =>
-      MetricRow(runId, "link_plan",
-        if (d.broadcast) "dict_join_broadcast" else "dict_join_salted",
-        d.site, d.estBytes.toDouble)
+    rec.drain().map { d =>
+      MetricRow(runId, "link_plan", s"dict_join_${d.path}", d.site,
+        d.estBytes.toDouble)
     }.toDF()
   }
 
@@ -168,11 +185,12 @@ object Pipeline {
         when(length(col("scrape")) > 0, col("scrape")).as("p_extract")),
       "kg_scrapes", runId, "extract_scrapes", fp)
 
+    val rec = new Linking.JoinRecorder
     val nodes = tables.write(
       Linking.linkAll(spark, entities,
         Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd,
-          dicts.dbp, dicts.synonyms, cfg),
-        scrapes, cfg),
+          dicts.dbp, dicts.synonyms, cfg, rec),
+        scrapes, cfg, rec),
       "kg_nodes", runId, "link", fp)
 
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")
@@ -184,7 +202,7 @@ object Pipeline {
     val metrics = tables.write(
       Statistics.compute(spark, nodes, edgesRaw, runId, cacheNarrow = false)
         .unionByName(tables.partitionLineage(edgesRaw, runId, "extract_edges"))
-        .unionByName(joinDecisionRows(spark, runId)),
+        .unionByName(joinDecisionRows(spark, runId, rec)),
       "kg_metrics", runId, "metrics", fp)
 
     Result(nodes, edgesRaw, components, metrics)

@@ -138,6 +138,14 @@ object Statistics {
     // row — measured 5x slower than the HOF version it replaced)
     val bounds: Seq[Column] = families.map(_._2)
       .scanLeft(lit(0): Column)((acc, c) => acc + size(c)).tail
+    // P11 applies to the dbpedia families only; derive their start from the
+    // families list itself (a hard-coded bound column silently shifted when
+    // a family was inserted/reordered) and require they form the tail —
+    // the bound is a single cumulative-position comparison.
+    val dbpStart = families.indexWhere(_._1.startsWith("top10_dbpedia"))
+    require(dbpStart > 0 &&
+      families.drop(dbpStart).forall(_._1.startsWith("top10_dbpedia")),
+      "dbpedia families must be the contiguous tail of the families list")
     val metricOfPos: Column = families.map(_._1).zipWithIndex
       .foldLeft(Option.empty[Column]) { case (acc, (name, i)) =>
         val cond = col("pos") < col(s"__b$i")
@@ -151,7 +159,7 @@ object Statistics {
       .select(metricOfPos.as("metric"),
         // P11 label projection for the dbpedia families, post-explode on
         // the scalar (codegen'd regexps) — context_statistics_top10.py:234
-        when(col("pos") >= col("__b8"), Linking.labelFromUri(col("rawkey")))
+        when(col("pos") >= col(s"__b${dbpStart - 1}"), Linking.labelFromUri(col("rawkey")))
           .otherwise(col("rawkey")).as("key"))
       // a null key = a referenced id whose label did not resolve in the
       // dictionary; the reference skips label-less references

@@ -28,15 +28,22 @@ object CategoryOps {
         concat_ws("|", Linking.cleanCategories(col("categories"))).as("kept"))
       .orderBy("p_partkey")
 
-  /** P11: URI tail → label (strip resource prefix + Category:, '_'→' '). */
+  /** P11 label-from-URI over all three reference branches
+    * (context_statistics_top10.py:231-250): dbpedia resource URIs (prefix +
+    * Category: stripped, '_'→' '), other URIs with a path (last component,
+    * Category: KEPT), and plain strings (returned unchanged, '_' kept). */
   def kgLabelFromUri(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part")
       .select(col("p_partkey"),
-        concat(lit("http://dbpedia.org/resource/Category:"),
-          regexp_replace(col("p_name"), " ", "_")).as("uri"))
+        regexp_replace(col("p_name"), " ", "_").as("n"))
+      .select(col("p_partkey"), posexplode(array(
+        concat(lit("http://dbpedia.org/resource/Category:"), col("n")),
+        concat(lit("http://dbpedia.org/resource/"), col("n")),
+        concat(lit("http://example.org/ns/Category:"), col("n")),
+        concat(lit("dbo:"), col("n")))).as(Seq("variant", "uri")))
       .withColumn("label", Linking.labelFromUri(col("uri")))
-      .select("p_partkey", "uri", "label")
-      .orderBy("p_partkey")
+      .select("p_partkey", "variant", "uri", "label")
+      .orderBy("p_partkey", "variant")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_clean_categories" -> kgCleanCategories _,
@@ -68,11 +75,25 @@ object CategoryOps {
                x -> len(list_filter($kw, k -> starts_with(x, k))) = 0),
              'string_agg', '|') AS kept
          FROM s ORDER BY p_partkey""",
+    // mirror of the reference branch structure: dbpedia prefix → strip +
+    // replace-all Category: (when leading) + '_'→' '; other URI → last
+    // path component + '_'→' ' (Category: kept); plain string → unchanged
     "kg_label_from_uri" ->
-      """SELECT p_partkey,
-         'http://dbpedia.org/resource/Category:' || replace(p_name, ' ', '_') AS uri,
-         replace(regexp_replace(regexp_extract(
-           'http://dbpedia.org/resource/Category:' || replace(p_name, ' ', '_'),
-           '([^/]+)$', 1), '^Category:', ''), '_', ' ') AS label
-         FROM part ORDER BY p_partkey""")
+      """WITH v AS (SELECT p_partkey, replace(p_name, ' ', '_') AS n FROM part),
+         u AS (
+           SELECT p_partkey, 0 AS variant,
+             'http://dbpedia.org/resource/Category:' || n AS uri FROM v
+           UNION ALL SELECT p_partkey, 1, 'http://dbpedia.org/resource/' || n FROM v
+           UNION ALL SELECT p_partkey, 2, 'http://example.org/ns/Category:' || n FROM v
+           UNION ALL SELECT p_partkey, 3, 'dbo:' || n FROM v)
+         SELECT p_partkey, variant, uri,
+           CASE
+             WHEN starts_with(uri, 'http://dbpedia.org/resource/') THEN
+               replace(CASE WHEN starts_with(substr(uri, 29), 'Category:')
+                            THEN replace(substr(uri, 29), 'Category:', '')
+                            ELSE substr(uri, 29) END, '_', ' ')
+             WHEN contains(uri, '/') THEN
+               replace(regexp_extract(uri, '([^/]+)$', 1), '_', ' ')
+             ELSE uri END AS label
+         FROM u ORDER BY p_partkey, variant""")
 }

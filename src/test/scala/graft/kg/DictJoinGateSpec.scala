@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** dictJoin size-gate robustness: the row-count fallback for stats-less
-  * plans (the 8-EiB defaultSizeInBytes sentinel) and the join-path metric
-  * rows surfaced by Pipeline. */
+  * plans (the 8-EiB defaultSizeInBytes sentinel), the per-run decision
+  * recorder, and the join-path metric rows surfaced by Pipeline. */
 class DictJoinGateSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,11 +20,11 @@ class DictJoinGateSpec extends SparkSpec {
       StructType(Seq(StructField("dk", StringType), StructField("dv", StringType))))
     assert(dict.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Long.MaxValue) / 8)
 
-    Linking.drainJoinDecisions() // clear
+    val rec = new Linking.JoinRecorder
     val joined = Linking.dictJoin(probe, dict, col("k"), col("dk"),
-      KgConfig.default, col("k"), site = "gate_test")
+      KgConfig.default, col("k"), site = "gate_test", rec = rec)
     assert(joined.count() == 2)
-    val ds = Linking.drainJoinDecisions().filter(_.site == "gate_test")
+    val ds = rec.drain().filter(_.site == "gate_test")
     assert(ds.nonEmpty)
     assert(ds.head.fromRowCount, "sentinel estimate must trigger the row-count probe")
     assert(ds.head.broadcast, "2-row dict must broadcast after the fallback")
@@ -32,24 +32,39 @@ class DictJoinGateSpec extends SparkSpec {
   }
 
   test("plan-estimated small dict broadcasts without a row-count job") {
-    Linking.drainJoinDecisions()
+    val rec = new Linking.JoinRecorder
     val probe = Seq(("a", 1)).toDF("k", "v")
     val dict = Seq(("a", "x")).toDF("dk", "dv") // LocalRelation: real stats
     Linking.dictJoin(probe, dict, col("k"), col("dk"),
-      KgConfig.default, col("k"), site = "gate_local")
-    val d = Linking.drainJoinDecisions().filter(_.site == "gate_local").head
+      KgConfig.default, col("k"), site = "gate_local", rec = rec)
+    val d = rec.drain().filter(_.site == "gate_local").head
     assert(!d.fromRowCount && d.broadcast)
   }
 
   test("forceSaltedJoins pins the salted path and is recorded") {
-    Linking.drainJoinDecisions()
+    val rec = new Linking.JoinRecorder
     val probe = Seq(("a", 1)).toDF("k", "v")
     val dict = Seq(("a", "x")).toDF("dk", "dv")
     val out = Linking.dictJoin(probe, dict, col("k"), col("dk"),
-      KgConfig.default.copy(forceSaltedJoins = true), col("k"), site = "gate_salted")
+      KgConfig.default.copy(forceSaltedJoins = true), col("k"),
+      site = "gate_salted", rec = rec)
     assert(out.count() == 1)
-    val d = Linking.drainJoinDecisions().filter(_.site == "gate_salted").head
-    assert(!d.broadcast)
+    val d = rec.drain().filter(_.site == "gate_salted").head
+    assert(d.path == "salted")
+  }
+
+  test("recorder is per-run: decisions in one recorder never leak to another") {
+    val recA = new Linking.JoinRecorder
+    val recB = new Linking.JoinRecorder
+    val probe = Seq(("a", 1)).toDF("k", "v")
+    val dict = Seq(("a", "x")).toDF("dk", "dv")
+    Linking.dictJoin(probe, dict, col("k"), col("dk"),
+      KgConfig.default, col("k"), site = "run_a", rec = recA)
+    Linking.dictJoin(probe, dict, col("k"), col("dk"),
+      KgConfig.default, col("k"), site = "run_b", rec = recB)
+    assert(recA.drain().map(_.site) == Seq("run_a"))
+    assert(recB.drain().map(_.site) == Seq("run_b"))
+    assert(recA.drain().isEmpty, "drain must consume")
   }
 
   test("Pipeline surfaces one metrics row per dictionary join site") {
@@ -62,5 +77,17 @@ class DictJoinGateSpec extends SparkSpec {
     for (s <- Seq("l1_redirects", "l1_primary", "l2_sitelinks", "l2_secondary",
         "l3_opensearch", "l4_synonym", "wd_enriched", "dbp_strict", "dbp_lookup"))
       assert(sites.contains(s), s"missing join-decision metric for site $s")
+  }
+
+  test("salted-regime Pipeline records the single L5 shuffle_hash scrape join") {
+    val corpus = SyntheticCorpus.generate(nPages = 20, seed = 7L)
+    val pages = spark.createDataset(corpus.pages)
+    val res = Pipeline.run(spark, pages, Pipeline.dictsFromCorpus(spark, corpus),
+      KgConfig.default.copy(forceSaltedJoins = true, nSalt = 4))
+    val l5 = res.metrics
+      .filter(col("stage") === "link_plan" && col("key") === "l5_scrapes")
+      .select("metric").as[String].collect().toSeq
+    assert(l5 == Seq("dict_join_shuffle_hash"),
+      s"L5 must be ONE unsalted shuffle_hash join in the salted regime, got $l5")
   }
 }
