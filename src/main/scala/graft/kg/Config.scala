@@ -24,6 +24,12 @@ final case class KgConfig(
     // (reference default: ENABLE_ENTITY_INFERENCE=False)
     inferEntities: Boolean = false,
     tfidfWeight: Double = 0.3,          // L14 context-cosine weight (north_star scoring)
+    // L7 — models/data_models.py:22-33: the multilang struct supports
+    // de/en/fr/es/it/nl/pl/ru/ja/zh. Entries beyond the primary language
+    // and the automatic fallback secondary are filled from these languages'
+    // wiki dictionaries via Wikidata sitelinks (data-bound: only languages
+    // with a dictionary can be listed here).
+    extraLanguages: Seq[String] = Nil,
     nSalt: Int = 8,                     // skew salting factor for dictionary joins
     // dictJoin gate: dictionaries estimated under this take the broadcast
     // path; larger ones take the salted shuffle-hash path (Linking.dictJoin)

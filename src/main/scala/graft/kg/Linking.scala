@@ -247,11 +247,17 @@ object Linking {
   final case class Prepared(
       primary: DataFrame, secondary: DataFrame, redir: DataFrame,
       links2: DataFrame, osPick: DataFrame, synPick: DataFrame,
-      enrichedWd: DataFrame, dbpSel: DataFrame, lookupPick: DataFrame) {
+      enrichedWd: DataFrame, dbpSel: DataFrame, lookupPick: DataFrame,
+      // L7 extra-language multilang tables: per language l, a
+      // (mlx_qid_l, mlx_l:struct<label,url,description>) dictionary built
+      // from that language's wiki pages via Wikidata sitelinks
+      mlExtra: Seq[(String, DataFrame)] = Nil) {
+    def all: Seq[DataFrame] =
+      Seq(primary, secondary, redir, links2, osPick, synPick,
+        enrichedWd, dbpSel, lookupPick) ++ mlExtra.map(_._2)
     def persistAll(): Prepared = {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      Seq(primary, secondary, redir, links2, osPick, synPick,
-        enrichedWd, dbpSel, lookupPick).foreach(_.persist(MEMORY_AND_DISK))
+      all.foreach(_.persist(MEMORY_AND_DISK))
       this
     }
   }
@@ -303,12 +309,30 @@ object Linking {
         col("part_of").as("lk_part_of"), col("has_part").as("lk_has_part")),
         col("uri")).as("lk"))
       .select(col("lk_key"), col("lk.*"))
+    // L7 extra-language tables (dictionary-side, O(dictionary)): the
+    // sitelinked page of each qid in language l, carrying the multilang
+    // entry payload. Languages equal to the primary/secondary pair are
+    // skipped — those entries come from the link chain itself.
+    def mlTable(l: String): DataFrame = {
+      val w = wiki.filter(col("lang") === l)
+        .select(col("title").as("mlw_title"), col("url").as("mlw_url"),
+          col("extract").as("mlw_extract"))
+      sitelinks.filter(col("site") === s"${l}wiki")
+        .select(col("qid").as(s"mlx_qid_$l"), col("title").as("mlx_title"))
+        .join(w, col("mlx_title") === col("mlw_title"), "inner")
+        .select(col(s"mlx_qid_$l"),
+          struct(col("mlw_title").as("label"), col("mlw_url").as("url"),
+            col("mlw_extract").as("description")).as(s"mlx_$l"))
+    }
+    val mlLangs = cfg.extraLanguages
+      .filter(l => l != cfg.language && l != secondaryLang).distinct
     Prepared(
       primary = primary, secondary = secondary, redir = redir, links2 = links2,
       osPick = opensearchPick(lookupTerms, primary, minLen),
       synPick = synonymPick(synonyms, primary, minLen),
       enrichedWd = enrichWdDict(wd, cfg, rec),
-      dbpSel = dbpSel, lookupPick = lookupPick)
+      dbpSel = dbpSel, lookupPick = lookupPick,
+      mlExtra = mlLangs.map(l => l -> mlTable(l)))
   }
 
   /** L1-L6: Wikipedia linking with the reference's staged fallback chain
@@ -412,7 +436,18 @@ object Linking {
     val ok5 = needs5 && col("p_extract").isNotNull &&
       length(col("p_extract")) >= minLen
 
-    val all = s5
+    // L7 extra languages: one dictionary join per configured language,
+    // keyed on the effective qid (the same expression the final
+    // wiki_wikidata_id projection resolves to). Each table is
+    // O(dictionary) and joins through the same size-gated dictJoin.
+    val effQid = coalesce(col("qid"),
+      when(ok1, col("w_wikidata_id")).when(ok2, col("w2_wikidata_id"))
+        .when(ok3, col("os_wikidata_id")).when(ok4, col("syn_wikidata_id")),
+      col("w_wikidata_id"))
+    val all = prep.mlExtra.foldLeft(s5) { case (df, (l, tbl)) =>
+      dictJoin(df, tbl, effQid, col(s"mlx_qid_$l"), cfg, col("url"),
+        site = s"l7_ml_$l", rec = rec).drop(s"mlx_qid_$l")
+    }
 
     // L7 wikipedia_multilang (models/data_models.py:22-33 +
     // wikipedia/service.py:405-458): per-language {label, url, description}
@@ -434,7 +469,14 @@ object Linking {
       when(ok3, col("os_extract")).when(ok4, col("syn_extract")).otherwise(col("w_extract")))
     val mlSecondary = mlEntry(secondaryLang,
       col("w2_title"), col("w2_url"), col("w2_extract"))
-    val multilang = map_concat(mlPrimary, mlSecondary).as("wiki_multilang")
+    // extra-language entries from the joined sitelink tables (absent
+    // languages contribute an empty map, like the reference's omission)
+    val mlExtras = prep.mlExtra.map { case (l, _) =>
+      when(col(s"mlx_$l").isNotNull, map(lit(l), col(s"mlx_$l")))
+        .otherwise(mlEmpty)
+    }
+    val multilang =
+      map_concat(Seq(mlPrimary, mlSecondary) ++ mlExtras: _*).as("wiki_multilang")
 
     // P13 language-consistency gate (service.py:971-981): a page found in
     // the wrong language (L2) keeps status=found but its url is demoted to

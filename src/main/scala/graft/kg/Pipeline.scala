@@ -47,8 +47,7 @@ object Pipeline {
       cfg: KgConfig = KgConfig.default): Linking.Prepared = {
     val p = Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd,
       dicts.dbp, dicts.synonyms, cfg).persistAll()
-    Seq(p.primary, p.secondary, p.redir, p.links2, p.osPick, p.synPick,
-      p.enrichedWd, p.dbpSel, p.lookupPick).foreach(_.count())
+    p.all.foreach(_.count())
     p
   }
 
