@@ -693,12 +693,56 @@ object Linking {
       prep: Prepared,
       scrapes: DataFrame,
       cfg: KgConfig,
+      rec: JoinRecorder = JoinRecorder.noop): DataFrame =
+    nest(linkFlat(spark, entities, prep, scrapes, cfg, rec))
+
+  /** The link chain with a FLAT output schema: one top-level column per
+    * node field. This is the form Pipeline.run CACHES: Spark's in-memory
+    * columnar cache prunes TOP-LEVEL columns only, and complex struct
+    * columns are stored as opaque per-row byte blobs (no per-field
+    * compression, no field pruning) — caching the nested shape forced
+    * every statistics read to decompress the entire fat payload (extracts,
+    * multilang maps) just to reach a status column; measured 3-4× slower
+    * narrow-fill at local[32] than the flat layout. `nest` assembles the
+    * user-facing nested shape ON TOP of the cache read — Catalyst
+    * collapses `sources.wikipedia.status` through the nesting projection
+    * back to the flat column (SimplifyExtractValueOps), so consumers of a
+    * few fields scan only those columns. */
+  def linkFlat(
+      spark: SparkSession,
+      entities: DataFrame,
+      prep: Prepared,
+      scrapes: DataFrame,
+      cfg: KgConfig,
       rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
     val w = wikipedia(spark, entities, prep, scrapes, cfg, rec)
     val d = wikidata(spark, w, prep, cfg, rec)
     val b = dbpedia(spark, d, prep, cfg, rec)
     b.select(
       col("url"), col("lang"), col("entity_id").as("id"), col("entity"),
+      col("entity_type"), col("inferred"), col("citation"),
+      col("citation_start"), col("citation_end"),
+      col("wiki_url"), col("wiki_url_alt"), col("wiki_extract"),
+      col("wiki_categories"), col("wiki_links"), col("wiki_wikidata_id"),
+      col("wiki_multilang"), col("wiki_fallback_source"), col("wiki_status"),
+      col("wd_qid"), col("wd_labels"), col("wd_descriptions"),
+      col("wd_aliases"), col("wd_instance_of"), col("wd_subclass_of"),
+      col("wd_part_of"), col("wd_has_part"), col("wd_coordinates"),
+      col("wd_image_url"), col("wd_date_of_birth"), col("wd_date_founded"),
+      col("wd_date_of_death"), col("wd_end_time"), col("wd_official_website"),
+      col("wd_gnd_id"), col("wd_isni_id"), col("wd_status"),
+      col("dbp_uri"), col("dbp_label"), col("dbp_abstract"), col("dbp_types"),
+      col("dbp_categories"), col("dbp_subjects"), col("dbp_part_of"),
+      col("dbp_has_part"), col("dbp_fallback_source"), col("dbp_status"),
+      col("freq"))
+  }
+
+  /** Assemble the user-facing nested node shape (SURVEY §1.1) from the
+    * flat link output. Pure projection — cheap per read, no data copied
+    * at rest. */
+  def nest(flat: DataFrame): DataFrame =
+    flat.select(
+      col("url"), col("lang"), col("id"), col("entity"),
       struct(col("entity_type").as("typ"), col("inferred"),
         col("citation"), col("citation_start"), col("citation_end")).as("details"),
       struct(
@@ -739,5 +783,4 @@ object Linking {
           col("dbp_fallback_source").as("fallback_source"),
           col("dbp_status").as("status")).as("dbpedia")).as("sources"),
       col("freq"))
-  }
 }

@@ -112,15 +112,21 @@ object Pipeline {
     // nodes are persisted by default: statistics runs several aggregates
     // over them and must not re-execute the join chain per aggregate (at
     // scale this stage is written to a table first — runMaterialized —
-    // which serves the same purpose). `cacheNodes=false` is for consumers
-    // that only materialize `metrics`: statistics then reads the link plan
+    // which serves the same purpose). The cache holds the FLAT link output
+    // (Linking.linkFlat) with the nested user shape assembled on top: the
+    // in-memory cache prunes only top-level columns and stores structs as
+    // opaque blobs, so caching the nested shape made every statistics read
+    // decompress the full fat payload (measured 3-4× slower narrow fill at
+    // local[32]). `cacheNodes=false` is for consumers that only
+    // materialize `metrics`: statistics then reads the link plan
     // COLUMN-PRUNED through the broadcast joins (the fat extract/multilang
     // payload is never computed or stored), with its own narrow persist
     // deduplicating the four passes.
-    val nodesPlan = Linking.linkAll(spark, entities, prep, scrapes, cfg, rec)
-    val nodes = if (cacheNodes)
-      nodesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else nodesPlan
+    val flatPlan = Linking.linkFlat(spark, entities, prep, scrapes, cfg, rec)
+    val nodes = Linking.nest(
+      if (cacheNodes)
+        flatPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else flatPlan)
 
     // ---- canonicalize: connected components over alias/redirect edges ----
     val aliasEdges = spark.createDataset(dicts.aliases.map(a => (a.alias, a.canonical))).toDF("src", "dst")

@@ -30,7 +30,16 @@ object Statistics {
     * fat columns each time); pass false when nodes come from parquet,
     * where column pruning already makes repeated scans cheap. */
   def compute(spark: SparkSession, nodesFull: DataFrame, edges: DataFrame,
-      runId: String, cacheNarrow: Boolean = true): DataFrame = {
+      runId: String, cacheNarrow: Boolean = true): DataFrame =
+    passes(spark, nodesFull, edges, cacheNarrow).map(_._2)
+      .reduce(_.unionByName(_))
+      .select(lit(runId).as("run_id"), lit("stats").as("stage"),
+        col("metric"), col("key"), col("value"))
+
+  /** The five branch plans of the metrics union, individually addressable
+    * for per-pass scaling probes (StatsProbe). */
+  private[kg] def passes(spark: SparkSession, nodesFull: DataFrame,
+      edges: DataFrame, cacheNarrow: Boolean): Seq[(String, DataFrame)] = {
 
     // Every array is coalesced HERE: pass 2 concat()s them into one explode,
     // and Spark's concat returns NULL if ANY input array is NULL — a single
@@ -212,9 +221,8 @@ object Statistics {
       .select(row(lit("entity_connections"), col("key"), col("value")).as("m"))
       .select("m.*")
 
-    Seq(linked, nodeCounters, edgeCounters, relTotal, conns)
-      .reduce(_.unionByName(_))
-      .select(lit(runId).as("run_id"), lit("stats").as("stage"),
-        col("metric"), col("key"), col("value"))
+    Seq("linked" -> linked, "nodeCounters" -> nodeCounters,
+      "edgeCounters" -> edgeCounters, "relTotal" -> relTotal,
+      "conns" -> conns)
   }
 }
