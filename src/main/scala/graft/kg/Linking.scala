@@ -613,11 +613,15 @@ object Linking {
     * the Lookup service's relevance-ranked first hit. */
   def dbpedia(spark: SparkSession, linked: DataFrame, prep: Prepared,
       cfg: KgConfig, rec: JoinRecorder = JoinRecorder.noop): DataFrame = {
-    val uriUdf = udf((label: String) => TextUtils.dbpediaUri(label))
+    // P10 URI construction as a native expression ([[graft.functions
+    // .DbpediaUri]]) — keeps the L13 key projection inside
+    // WholeStageCodegen (a ScalaUDF node would break the span).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dbpedia_uri", args => graft.functions.DbpediaUri(args.head), "built-in")
     val withUri = linked
       .withColumn("dbp_label_src",
         coalesce(element_at(col("wd_labels"), "en"), col("entity")))
-      .withColumn("dbp_uri", uriUdf(col("dbp_label_src")))
+      .withColumn("dbp_uri", call_function("dbpedia_uri", col("dbp_label_src")))
     val joined = dictJoin(withUri, prep.dbpSel,
       col("dbp_uri"), col("dbp_uri_dict"), cfg, col("url"), site = "dbp_strict",
       rec = rec)

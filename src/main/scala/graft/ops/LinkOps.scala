@@ -29,11 +29,14 @@ object LinkOps {
 
   private val LongDe = "x" * 120
   private val LongEn = "y" * 120
+  private val LongFr = "z" * 120
 
   private def deUrl(title: String) =
     s"https://de.wikipedia.org/wiki/${title.replace(' ', '_')}"
   private def enUrl(title: String) =
     s"https://en.wikipedia.org/wiki/${title.replace(' ', '_')}"
+  private def frUrl(title: String) =
+    s"https://fr.wikipedia.org/wiki/${title.replace(' ', '_')}"
 
   private val qidOf: Map[String, String] = Map(
     "customer" -> "Q1", "filter" -> "Q2", "join" -> "Q3", "merge" -> "Q4",
@@ -42,6 +45,9 @@ object LinkOps {
   private val wikiFixture: Seq[WikiPageRow] = Seq(
     WikiPageRow("customer", "de", deUrl("customer"), LongDe,
       Seq("Kategorie:Begriff"), Seq("filter"), "Q1", Map.empty, null),
+    // L7 third-language case: the fr sitelinked page fills multilang['fr']
+    WikiPageRow("client (fr)", "fr", frUrl("client"), LongFr,
+      Nil, Nil, "Q1", Map.empty, null),
     WikiPageRow("filtern", "de", deUrl("filtern"), LongDe, Nil, Nil, "Q2", Map.empty, null),
     WikiPageRow("join", "de", deUrl("join"), "kurz", Nil, Nil, "Q3", Map.empty, null),
     WikiPageRow("join (en)", "en", enUrl("join"), LongEn, Nil, Nil, "Q3", Map.empty, null),
@@ -65,7 +71,10 @@ object LinkOps {
         subclass_of = if (term == "customer") Seq("Q101") else Nil,
         part_of = if (term == "filter") Seq("Q101") else Nil,
         has_part = if (term == "filter") Seq("Q100") else Nil,
-        sitelinks = if (term == "join") Map("enwiki" -> "join (en)") else Map.empty,
+        sitelinks =
+          if (term == "join") Map("enwiki" -> "join (en)")
+          else if (term == "customer") Map("frwiki" -> "client (fr)")
+          else Map.empty,
         // L12 scalar cases: one term per property family
         coordinates = if (term == "customer") Some(CoordRow(48.1, 11.5)) else None,
         image_url = if (term == "customer") "https://commons.example/cust.jpg" else null,
@@ -93,11 +102,12 @@ object LinkOps {
     * kg_link_chain projection and the kg_stats statistics query. */
   private def linkChainNodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val idUdf = udf((u: String, e: String) => TextUtils.entityId(u, e))
     val entities = MentionOps.kgMentions(spark, dir)
       .select(concat(lit("doc://"), col("doc_id")).as("url"),
         lit("de").as("lang"), col("term").as("entity"), col("n"))
-      .withColumn("entity_id", idUdf(col("url"), col("entity")))
+      // E5 deterministic id (TextUtils.entityId) via the built-in sha1 —
+      // keeps the whole kg_link_chain plan free of ScalaUDF nodes
+      .withColumn("entity_id", sha1(concat(col("url"), lit("|"), col("entity"))))
       .withColumn("qid", element_at(
         typedLit(qidOf), col("entity")))
       .select(col("url"), col("lang"), col("entity_id"), col("entity"),
@@ -109,7 +119,8 @@ object LinkOps {
         when(length(col("text")) > 0, col("text")).as("p_extract"))
     Linking.linkAll(spark, entities,
       wikiFixture.toDF(), redirectFixture.toDF(), wdFixture.toDF(),
-      dbpFixture.toDF(), scrapes, synonymFixture.toDF(), KgConfig.default)
+      dbpFixture.toDF(), scrapes, synonymFixture.toDF(),
+      KgConfig.default.copy(extraLanguages = Seq("fr")))
   }
 
   /** The production link chain over documents-derived mentions. */
@@ -125,6 +136,8 @@ object LinkOps {
       // de-language page; en present only for the sitelinked L2 case)
       expr("try_element_at(sources.wikipedia.multilang, 'de').label").as("ml_de_label"),
       expr("try_element_at(sources.wikipedia.multilang, 'en').url").as("ml_en_url"),
+      // L7 third language (extraLanguages): fr entry via the frwiki sitelink
+      expr("try_element_at(sources.wikipedia.multilang, 'fr').label").as("ml_fr_label"),
       col("sources.wikidata.status").as("wd_status"),
       col("sources.wikidata.url").as("wd_url"),
       expr("try_element_at(sources.wikidata.instance_of, 1).label").as("inst1"),
@@ -207,6 +220,7 @@ object LinkOps {
              WHEN 'window' THEN 'window manager'
            END AS ml_de_label,
            CASE term WHEN 'join' THEN 'https://en.wikipedia.org/wiki/join' END AS ml_en_url,
+           CASE term WHEN 'customer' THEN 'client (fr)' END AS ml_fr_label,
            'found' AS wd_status,
            'https://www.wikidata.org/wiki/' || CASE term
              WHEN 'customer' THEN 'Q1' WHEN 'filter' THEN 'Q2'
