@@ -223,10 +223,21 @@ object Bench {
       memRatios += memScore(32) / memScore(8)
       continueReps = rep < maxReps && (rep < 2 || part2Elapsed < budgetSec)
     }
-    // gazetteer probe in its own short session (not tied to the last rep)
+    // gazetteer probe in its own short session (not tied to the last rep),
+    // plus the once-per-deployment dictionary artifact sizes: the bounded
+    // driver-side link tables (amb-desc / part_of / idf vs total entities)
+    // and the L3 opensearch prefix index rows-per-title blowup
+    var boundedStats = (0, 0, 0, 0L)
+    var osStats = (0L, 0L)
     locally {
       val s = session(32)
       gazStats = gazProbe(s)
+      val dicts = graft.kg.Pipeline.dictsFromCorpus(
+        s, graft.kg.SyntheticCorpus.generate(0))
+      boundedStats = (dicts.wdDesc.size, dicts.wdPartOf.size,
+        dicts.idf.size, dicts.wd.count())
+      val prep = graft.kg.Pipeline.prepareLink(s, dicts)
+      osStats = (prep.osPick.count(), prep.primary.count())
       s.stop()
     }
     // 100 TB join-path evidence (one run, local[32]): the SAME pipeline
@@ -299,7 +310,11 @@ object Bench {
       f""""efficiency_host_normalized":$effNorm%.3f,""" +
       f""""efficiency_mem_normalized":$effNormMem%.3f,""" +
       f""""salted_local32":{"pages":${math.max(kgPages / 3, 10000)},"sec":$sS%.2f,"pages_per_s":$pS%.1f},""" +
-      f""""gazetteer_1m":{"build_sec":$gazBuild%.2f,"mb":$gazMb%.1f,"broadcast_sec":$gazBc%.2f}}"""
+      f""""gazetteer_1m":{"build_sec":$gazBuild%.2f,"mb":$gazMb%.1f,"broadcast_sec":$gazBc%.2f},""" +
+      f""""bounded_dicts":{"amb_desc":${boundedStats._1},"part_of":${boundedStats._2},""" +
+      f""""idf_terms":${boundedStats._3},"wd_entities":${boundedStats._4}},""" +
+      f""""os_prefix_index":{"rows":${osStats._1},"titles":${osStats._2},""" +
+      f""""rows_per_title":${osStats._1.toDouble / math.max(osStats._2, 1)}%.1f}}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_scaling":$scaling}""")
 
@@ -363,10 +378,23 @@ object Bench {
          |footprint, broadcast+first-executor-use $gazBc%.2f s — comfortably
          |inside the 8 GB driver/broadcast budget.
          |
+         |**Bounded driver-side link tables**: descriptions collected for
+         |${boundedStats._1} ambiguous-candidate qids and part_of for
+         |${boundedStats._2} alias qids out of ${boundedStats._4} dictionary
+         |entities; the idf vocabulary map (${boundedStats._3} terms,
+         |computed by a DISTRIBUTED df pass) is the only corpus-sized
+         |artifact and ships in the gazetteer broadcast regardless. Driver
+         |memory is O(gazetteer + vocabulary), not O(all entities).
+         |
          |**Dictionary preparation** (pick tables, enriched wd dictionary,
          |prefix index) is built once per deployment — static data artifacts,
          |persisted and excluded from per-run timing (amortized to ~0 over a
-         |10^12-page corpus).
+         |10^12-page corpus). The L3 opensearch prefix index is the largest:
+         |${osStats._1} rows over ${osStats._2} primary titles
+         |(${osStats._1.toDouble / math.max(osStats._2, 1)}%.1f rows/title —
+         |lengths 3..40 prefixes; at 10^8 titles that is ~4·10^9 rows /
+         |low-hundreds of GB as parquet, a once-per-deployment distributed
+         |build+sort, NOT a per-run cost).
          |
          |Why the design scales on a real cluster: the extract stage is a
          |fused map-only pass (broadcast Aho-Corasick automaton, zero

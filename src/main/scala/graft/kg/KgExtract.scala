@@ -57,8 +57,66 @@ object KgExtract {
     text.toLowerCase(java.util.Locale.ROOT)
       .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
+  /** Bounded driver-side link tables (VERDICT r3 item 2): at a 10^8-entity
+    * dictionary the naive `qid → description` / `qid → part_of` maps are
+    * tens of GB on the driver — far past the 8 GB budget the automaton
+    * respects. What the extract stage actually NEEDS driver-side is much
+    * smaller, and each piece has its own bound:
+    *   - `idf` — the corpus-level document-frequency statistic. Its
+    *     SEMANTICS stay "IDF over ALL entity descriptions" (so results are
+    *     byte-identical to the naive build), but the df counting runs
+    *     DISTRIBUTED over the wd dictionary DataFrame and only the
+    *     vocabulary-sized idf map is collected. This map is the floor: it
+    *     ships in the gazetteer broadcast regardless, because the document
+    *     context norm needs idf for arbitrary document tokens.
+    *   - `descByQid` — consumed only by `vec(qid)` for the candidates of
+    *     AMBIGUOUS surfaces; bounded to exactly those qids.
+    *   - `partOf` — queried only with qids that appear in the alias table
+    *     (explicit mentions are gazetteer candidates; E4 implied entities
+    *     are gated on `qidInfo.get(hq)`, which is alias-derived); bounded
+    *     to alias-table qids with a non-empty part_of (an empty set is
+    *     indistinguishable from an absent key at every call site).
+    */
+  final case class LinkTables(
+      partOf: Map[String, Set[String]],
+      descByQid: Map[String, String],
+      idf: Map[String, Double])
+
+  def boundedLinkTables(spark: SparkSession, wd: org.apache.spark.sql.DataFrame,
+      aliases: Seq[AliasRow], lang: String = "de"): LinkTables = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val aliasQids = aliases.iterator.map(_.qid).toSet
+    val ambiguousQids: Set[String] = aliases.groupBy(_.alias).valuesIterator
+      .filter(_.size > 1).flatten.map(_.qid).toSet
+    val wdQ = wd.select(col("qid"),
+        coalesce(element_at(col("descriptions"), lit(lang)), lit("")).as("d"),
+        col("part_of"))
+      .dropDuplicates("qid")
+    // distributed document-frequency: same tokenize() on executors as the
+    // driver-side build, so idf values are bit-identical
+    val n = math.max(wdQ.count(), 1L)
+    val dfMap: Map[String, Int] = wdQ.select(col("d")).as[String]
+      .flatMap(d => tokenize(d).distinct)
+      .groupBy("value").count()
+      .as[(String, Long)].collect().iterator.map { case (t, c) => t -> c.toInt }.toMap
+    val idf = dfMap.map { case (t, c) =>
+      t -> math.max(math.log(n.toDouble / (1 + c)), 0.0)
+    }
+    def restrict(qids: Set[String]) = wdQ.join(
+      broadcast(qids.toSeq.toDF("rq")), col("qid") === col("rq"), "left_semi")
+    val descB = restrict(ambiguousQids).select(col("qid"), col("d"))
+      .as[(String, String)].collect().toMap
+    val partOfB = restrict(aliasQids)
+      .filter(size(col("part_of")) > 0)
+      .select(col("qid"), col("part_of")).as[(String, Seq[String])]
+      .collect().iterator.map { case (q, ps) => q -> ps.toSet }.toMap
+    LinkTables(partOfB, descB, idf)
+  }
+
   def buildGazetteer(aliases: Seq[AliasRow],
-      descByQid: Map[String, String] = Map.empty): Gazetteer = {
+      descByQid: Map[String, String] = Map.empty,
+      idfPrecomputed: Option[Map[String, Double]] = None): Gazetteer = {
     val surfaces = aliases.map(_.alias).distinct.sorted.toVector
     val byAlias = aliases.groupBy(_.alias)
     val cands = surfaces.map { s =>
@@ -67,14 +125,19 @@ object KgExtract {
     }.toArray
     // IDF over the description corpus (one doc per dictionary entity);
     // idf = ln(N / (1 + df)) floored at 0 — common boilerplate terms
-    // contribute nothing, discriminative terms dominate
-    val descs = descByQid.values.toVector
-    val n = math.max(descs.size, 1)
-    val df = scala.collection.mutable.HashMap.empty[String, Int]
-    descs.foreach(d => tokenize(d).distinct.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
-    val idf = df.iterator.map { case (t, c) =>
-      t -> math.max(math.log(n.toDouble / (1 + c)), 0.0)
-    }.toMap
+    // contribute nothing, discriminative terms dominate. With
+    // `idfPrecomputed` (the distributed boundedLinkTables build) descByQid
+    // only needs the AMBIGUOUS surfaces' candidates — vec() reads nothing
+    // else.
+    val idf = idfPrecomputed.getOrElse {
+      val descs = descByQid.values.toVector
+      val n = math.max(descs.size, 1)
+      val df = scala.collection.mutable.HashMap.empty[String, Int]
+      descs.foreach(d => tokenize(d).distinct.foreach(t => df(t) = df.getOrElse(t, 0) + 1))
+      df.iterator.map { case (t, c) =>
+        t -> math.max(math.log(n.toDouble / (1 + c)), 0.0)
+      }.toMap
+    }
     // candidate vectors (ambiguous surfaces only): tf*idf, L2-normalized
     def vec(qid: String): Map[String, Double] = {
       val toks = tokenize(descByQid.getOrElse(qid, ""))
@@ -163,10 +226,11 @@ object KgExtract {
       cfg: KgConfig,
       useHtml: Boolean = true,
       descByQid: Map[String, String] = Map.empty,
-      counters: Option[Counters] = None): Dataset[DocOut] = {
+      counters: Option[Counters] = None,
+      idf: Option[Map[String, Double]] = None): Dataset[DocOut] = {
     import spark.implicits._
     val bcGaz: Broadcast[Gazetteer] =
-      spark.sparkContext.broadcast(buildGazetteer(aliases, descByQid))
+      spark.sparkContext.broadcast(buildGazetteer(aliases, descByQid, idf))
     val bcPats = spark.sparkContext.broadcast(
       patterns.groupBy(_.lang).map { case (l, ps) => l -> ps.map(p => p.middle -> p).toMap })
     val bcPartOf = spark.sparkContext.broadcast(wdPartOf)

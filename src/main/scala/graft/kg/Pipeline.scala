@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Driver-side dictionary bundle. `wdPartOf`/`wdDesc`/`idf` are the
+    * BOUNDED link tables from [[KgExtract.boundedLinkTables]]: part_of
+    * restricted to alias-table qids, descriptions to ambiguous surfaces'
+    * candidates, idf the distributed-df vocabulary map — driver memory
+    * O(gazetteer + vocabulary), not O(all dictionary entities). */
   final case class Dicts(
       aliases: Seq[AliasRow],
       patterns: Seq[PatternRow],
@@ -19,23 +24,27 @@ object Pipeline {
       dbp: DataFrame,
       synonyms: DataFrame,
       wdPartOf: Map[String, Set[String]],
-      wdDesc: Map[String, String])
+      wdDesc: Map[String, String],
+      idf: Map[String, Double])
 
   final case class Result(nodes: DataFrame, edges: DataFrame,
       components: DataFrame, metrics: DataFrame)
 
   def dictsFromCorpus(spark: SparkSession, c: SyntheticCorpus.Corpus): Dicts = {
     import spark.implicits._
+    val wd = c.wdEntities.toDF()
+    val lt = KgExtract.boundedLinkTables(spark, wd, c.aliases)
     Dicts(
       aliases = c.aliases,
       patterns = c.patterns,
       wiki = c.wikiPages.toDF(),
       redirects = c.redirects.toDF(),
-      wd = c.wdEntities.toDF(),
+      wd = wd,
       dbp = c.dbpedia.toDF(),
       synonyms = c.synonyms.toDF(),
-      wdPartOf = c.wdEntities.map(w => w.qid -> w.part_of.toSet).toMap,
-      wdDesc = c.wdEntities.map(w => w.qid -> w.descriptions.getOrElse("de", "")).toMap)
+      wdPartOf = lt.partOf,
+      wdDesc = lt.descByQid,
+      idf = lt.idf)
   }
 
   /** In-memory run (tests, benchmarks): no table layer, returns the live
@@ -68,7 +77,7 @@ object Pipeline {
     // in every consumer, while InMemoryRelation + Catalyst explode prunes
     // each branch to exactly the columns it reads.
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
-      dicts.wdPartOf, cfg, useHtml, dicts.wdDesc)
+      dicts.wdPartOf, cfg, useHtml, dicts.wdDesc, idf = Some(dicts.idf))
       .toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -180,7 +189,8 @@ object Pipeline {
     val fp = fingerprintOf(pages)
 
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
-      dicts.wdPartOf, cfg, useHtml = true, descByQid = dicts.wdDesc)
+      dicts.wdPartOf, cfg, useHtml = true, descByQid = dicts.wdDesc,
+      idf = Some(dicts.idf))
     val entities = tables.write(docOut.flatMap(_.entities).toDF(), "kg_entities",
       runId, "extract_entities", fp)
     val edgesRaw = tables.write(docOut.flatMap(_.triples).toDF(), "kg_edges",
