@@ -168,8 +168,8 @@ object Linking {
     * case the gate falls back to a row-count probe (one cheap job over the
     * dictionary — dictionaries are persisted artifacts, orders of
     * magnitude smaller than the probe side) with a conservative 512 B/row
-    * estimate. Every decision is recorded (`recordedJoins`) and surfaced
-    * as a metrics row per join site. */
+    * estimate. Every decision is recorded in the caller's per-run
+    * [[JoinRecorder]] and surfaced as a metrics row per join site. */
   def dictJoin(
       probe: DataFrame, dict: DataFrame, probeKey: Column, dictKey: Column,
       cfg: KgConfig, saltSource: Column, joinType: String = "left",
@@ -194,13 +194,19 @@ object Linking {
     * The prefix index is a bounded explode of the title dictionary (lengths
     * 3..40) — linear in dictionary size, the batch form of the API's own
     * prefix index. Input `terms`: one column os_key (lowercased lookup). */
+  /** The L3 prefix index (lengths 3..40 per title, ~38 rows/title): the
+    * largest prepared artifact — ~4·10^9 rows at 10^8 titles, built ONCE
+    * per deployment as a distributed explode. Exposed so the bench can
+    * report its size (VERDICT r3 item 6). */
+  private[graft] def prefixIndex(primary: DataFrame): DataFrame = primary
+    .filter(length(col("w_title")) >= 3) // sub-3-char titles are not indexed
+    .select(col("w_title"),
+      explode(expr("transform(sequence(3, least(char_length(w_title), 40))," +
+        " i -> lower(substring(w_title, 1, i)))")).as("os_prefix"))
+
   private def opensearchPick(terms: DataFrame, primary: DataFrame,
       minLen: Int): DataFrame = {
-    val pref = primary
-      .filter(length(col("w_title")) >= 3) // sub-3-char titles are not indexed
-      .select(col("w_title"),
-        explode(expr("transform(sequence(3, least(char_length(w_title), 40))," +
-          " i -> lower(substring(w_title, 1, i)))")).as("os_prefix"))
+    val pref = prefixIndex(primary)
     val cand = pref.join(terms.hint("shuffle_hash"),
         col("os_prefix") === col("os_key"), "inner")
       .withColumn("os_rk", row_number().over(
