@@ -147,7 +147,11 @@ object Pipeline {
     // are recorded at plan-construction time — surfaced as metric rows so
     // plan drift at scale is observable in the run output, not just in
     // executor logs
-    val metrics = Statistics.compute(spark, nodes, edges, runId)
+    // cacheNarrow: plan-variant toggle for probes — the narrow stats
+    // projection persist predates the flat nodes cache and may now be
+    // redundant double-caching (the flat cache serves pruned reads)
+    val metrics = Statistics.compute(spark, nodes, edges, runId,
+        cacheNarrow = !sys.env.get("SPARK_GRAFT_STATS_NO_NARROW").contains("1"))
       .unionByName(joinDecisionRows(spark, runId, rec))
 
     Result(nodes, edges, components, metrics)

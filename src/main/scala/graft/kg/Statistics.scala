@@ -10,17 +10,21 @@ import org.apache.spark.sql.functions._
   * (run_id, stage, metric, key, value) so the same sink carries lineage
   * counts (north_rule: per-partition lineage rows + metrics).
   *
-  * The whole computation is ONE lazy plan built from FOUR data passes
+  * The whole computation is ONE lazy plan built from TWO data passes
   * (no driver collects, no eager jobs):
   *   1. one scalar aggregate over nodes (totals + linked counts/percents),
-  *   2. one metric-keyed explode+groupBy over nodes covering SIX counter
-  *      families at once (types, both fallback distributions, three top-10
-  *      exploded counters — rank filter applied only to top10_* metrics),
-  *   3. one metric-keyed explode+groupBy over edges (predicates + inference
-  *      ratios, with the edge total derived from the grouped result),
-  *   4. one symmetric-explode distinct pass for entity connections.
-  * The round-1 version ran ~9 separate branch scans; per-branch stage
-  * latency (driver scheduling + AQE re-planning) dominated at 32 threads.
+  *   2. ONE fused counter pass: the node-side explode (six counter
+  *      families), the edge-side explode (predicates + inference ratios)
+  *      and the symmetric entity-connections pairs union into a single
+  *      (metric, key, sub) stream aggregated by one two-phase groupBy
+  *      (sub = neighbor for entity_connections, null elsewhere — the
+  *      second phase collapses it into a distinct-neighbor count) and
+  *      ranked by one window; the tiny grouped result is persisted so the
+  *      top-10/percent projection and the relationship total read it
+  *      without recomputing the scans.
+  * The round-1 version ran ~9 separate branch scans and round-3 still ran
+  * four (the per-subtree driver scheduling + AQE re-planning was the
+  * measured thread-invariant ~4-8 s floor that capped 8→32 scaling).
   * The caller is expected to have `nodesFull` persisted.
   */
 object Statistics {
@@ -112,7 +116,9 @@ object Statistics {
         row(lit("entity_inference_percent"), lit("implicit"), pct(col("ent_impl"))))).as("m"))
       .select("m.*")
 
-    // ---- pass 2: all node-side counters in ONE explode+groupBy.
+    // ---- pass 2 (fused counters): all node-side counters, edge-side
+    // counters and entity_connections in ONE union → ONE two-phase
+    // groupBy → ONE rank window.
     // A2 types_distribution ("Unknown" default — :106-112), A10 fallback
     // distributions (wikipedia/service.py:786-931 batch stats), A4/A5/A6
     // top-10 exploded counters (tie-break: count desc, key asc —
@@ -123,8 +129,6 @@ object Statistics {
     // family sizes with a when-chain — every expression here compiles into
     // whole-stage codegen (the obvious transform-into-struct tagging is an
     // interpreted HOF per element and was the dominant stats cost).
-    def mk(metric: String, key: Column) =
-      struct(lit(metric).as("metric"), key.as("key"))
     val families: Seq[(String, Column)] = Seq(
       "types_distribution" -> array(coalesce(col("typ"), lit("Unknown"))),
       "wikipedia_fallback_dist" -> array(coalesce(col("wp_fallback"), lit("none"))),
@@ -160,7 +164,11 @@ object Statistics {
         val cond = col("pos") < col(s"__b$i")
         Some(acc.fold(when(cond, name))(_.when(cond, name)))
       }.get
-    val nodeCounters = nodes
+    // `sub` is the second-phase grouping refinement: the neighbor id for
+    // entity_connections (phase 2 counts DISTINCT subs per key), null for
+    // every counting family (phase 2 passes the phase-1 count through).
+    val nullSub = lit(null).cast("string").as("sub")
+    val nodeExploded = nodes
       .select(col("*") +:
         bounds.zipWithIndex.map { case (b, i) => b.as(s"__b$i") }: _*)
       .select(col("*"),
@@ -174,27 +182,43 @@ object Statistics {
       // dictionary; the reference skips label-less references
       // (context_statistics_top10.py:115-121)
       .filter(col("key").isNotNull)
-      .groupBy("metric", "key").agg(count(lit(1)).cast("double").as("value"))
+      .select(col("metric"), col("key"), nullSub)
+    // A7 top-10 predicates + A8 inference counters (one edges scan) and
+    // A9 entity_connections symmetric pairs (same scan, second explode
+    // entry pair) — context_statistics.py:177-184, top10.py:380-420
+    val edgeExploded = edges.select(explode(array(
+        struct(lit("top10_predicates").as("metric"),
+          col("predicate").as("key"), nullSub),
+        struct(lit("relationships_inferred").as("metric"),
+          lower(col("inferred")).as("key"), nullSub),
+        struct(lit("entity_connections").as("metric"),
+          col("subject").as("key"), col("object").as("sub")),
+        struct(lit("entity_connections").as("metric"),
+          col("object").as("key"), col("subject").as("sub")))).as("mk"))
+      .select("mk.*")
+    // Two-phase aggregate: phase 1 dedups (metric, key, sub) — for
+    // entity_connections that IS the distinct-neighbor set; phase 2
+    // collapses sub (count rows for connections, sum counts elsewhere).
+    // The grouped result is TINY (counter keys, not data rows) and feeds
+    // three consumers (rank/percent projection, relationship total), so it
+    // is persisted — without it each consumer would re-run the full union.
+    val grouped = nodeExploded.unionByName(edgeExploded)
+      .groupBy("metric", "key", "sub").agg(count(lit(1)).as("c"))
+      .groupBy("metric", "key")
+      .agg(sum("c").as("s"), count(lit(1)).as("d"))
+      .select(col("metric"), col("key"),
+        when(col("metric") === "entity_connections", col("d"))
+          .otherwise(col("s")).cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rank filter applies to the top10_* families AND entity_connections
+    // (its reference output is the top 10 by count desc, key asc);
+    // relationship_inference percent pair (context_statistics.py:177-184)
+    // derived from the grouped rows via a window sum — no extra scan
+    val counters = grouped
       .withColumn("rk", row_number().over(
         Window.partitionBy("metric").orderBy(col("value").desc, col("key").asc)))
-      .filter(!col("metric").startsWith("top10_") || col("rk") <= 10)
-      .select(row(col("metric"), col("key"), col("value")).as("m"))
-      .select("m.*")
-
-    // ---- pass 3: edge-side counters in ONE explode+groupBy (A7 top-10
-    // predicates + A8 inference ratios); the A1 edge total is derived from
-    // the (tiny) grouped inference rows, not another scan
-    val edgeGrouped = edges.select(explode(array(
-        mk("top10_predicates", col("predicate")),
-        mk("relationships_inferred", lower(col("inferred"))))).as("mk"))
-      .select(col("mk.metric").as("metric"), col("mk.key").as("key"))
-      .groupBy("metric", "key").agg(count(lit(1)).cast("double").as("value"))
-    // relationship_inference percent pair (context_statistics.py:177-184):
-    // derived from the (tiny) grouped rows via a window sum — no extra scan
-    val edgeCounters = edgeGrouped
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("metric").orderBy(col("value").desc, col("key").asc)))
-      .filter(!col("metric").startsWith("top10_") || col("rk") <= 10)
+      .filter(!(col("metric").startsWith("top10_") ||
+        col("metric") === "entity_connections") || col("rk") <= 10)
       .withColumn("tot", sum(when(col("metric") === "relationships_inferred",
         col("value"))).over(Window.partitionBy(lit(1))))
       .select(explode(when(col("metric") === "relationships_inferred", array(
@@ -203,26 +227,12 @@ object Statistics {
             bround(lit(100.0) * col("value") / col("tot"), 1))))
         .otherwise(array(row(col("metric"), col("key"), col("value"))))).as("m"))
       .select("m.*")
-    val relTotal = edgeGrouped
+    val relTotal = grouped
       .filter(col("metric") === "relationships_inferred")
       .agg(coalesce(sum("value"), lit(0.0)).as("c"))
       .select(row(lit("total"), lit("relationships"), col("c")).as("m"))
       .select("m.*")
 
-    // ---- pass 4: A9 entity_connections — distinct neighbors per entity,
-    // top 10, via a single symmetric explode (one edges scan, not two)
-    val conns = edges.select(explode(array(
-        struct(col("subject").as("e"), col("object").as("n")),
-        struct(col("object").as("e"), col("subject").as("n")))).as("p"))
-      .select(col("p.e").as("key"), col("p.n").as("n"))
-      .distinct()
-      .groupBy("key").agg(count(lit(1)).cast("double").as("value"))
-      .orderBy(col("value").desc, col("key").asc).limit(10)
-      .select(row(lit("entity_connections"), col("key"), col("value")).as("m"))
-      .select("m.*")
-
-    Seq("linked" -> linked, "nodeCounters" -> nodeCounters,
-      "edgeCounters" -> edgeCounters, "relTotal" -> relTotal,
-      "conns" -> conns)
+    Seq("linked" -> linked, "counters" -> counters, "relTotal" -> relTotal)
   }
 }

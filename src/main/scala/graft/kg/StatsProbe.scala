@@ -3,7 +3,7 @@ package graft.kg
 import org.apache.spark.sql.SparkSession
 
 /** Scratch probe: per-pass timing of the REAL Statistics.compute branch
-  * plans (linked / nodeCounters / edgeCounters / relTotal / conns) over a
+  * plans (linked / counters / relTotal) over a
   * materialized pipeline, repeated so warm-cache behavior is visible.
   * Usage: runMain graft.kg.StatsProbe <cpus> <nPages> [reps] */
 object StatsProbe {
