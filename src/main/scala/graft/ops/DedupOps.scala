@@ -58,15 +58,19 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature → (band, bucket) rows: the shared LSH layout. */
+  /** MinHash signature → (band, bucket) rows: the shared LSH layout.
+    * The signature (8 per-seed md5 minima over 3-gram shingles) is ONE
+    * native expression ([[graft.functions.MinhashSig]]) — the previous
+    * nested-HOF formulation (transform(sequence(0,7), k ->
+    * array_min(transform(shs, s -> md5(...))))), which the DuckDB oracle
+    * still uses verbatim, ran CodegenFallback-interpreted per
+    * (seed × shingle) and dominated the signature stage. */
   private def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", args => graft.functions.MinhashSig(args.head), "built-in")
     val sig = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), expr(shingleExpr).as("shs"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 7),
-             k -> array_min(transform(shs, s -> md5(concat(cast(k as string), '|', s)))))""")
-        .as("sig"))
+      .select(col("doc_id"), call_function("minhash_sig", col("ws")).as("sig"))
     sig
       .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
