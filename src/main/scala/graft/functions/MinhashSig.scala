@@ -60,7 +60,7 @@ object MinhashSigImpl {
   private val Prefixes: Array[Array[Byte]] =
     Array.tabulate(K)(k => (k.toString + "|").getBytes("UTF-8"))
 
-  private def hex(d: Array[Byte]): UTF8String = {
+  private[functions] def hex(d: Array[Byte]): UTF8String = {
     val out = new Array[Byte](d.length * 2)
     var i = 0
     while (i < d.length) {
@@ -71,7 +71,7 @@ object MinhashSigImpl {
     UTF8String.fromBytes(out)
   }
 
-  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+  private[functions] def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
       val x = a(i) & 0xff

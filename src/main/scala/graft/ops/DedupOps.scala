@@ -139,14 +139,16 @@ object DedupOps {
     * [[SimilarityOps.simLshBuckets]]). Explicit dot/norm expressions keep
     * both engines' float math element-ordered; rounded to 3 decimals. */
   def ddEmbedCos(spark: SparkSession, dir: String): DataFrame = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("vec_dot",
+      args => graft.functions.VecDot(args(0), args(1)), "built-in")
     val e = t(spark, dir, "embeddings").filter(col("vec_id") < 300)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
     val a = e.toDF("vec_a", "va", "na")
     val b = e.toDF("vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+      .withColumn("dot", call_function("vec_dot", col("va"), col("vb")))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 3))
       .filter(col("cosine") >= 0.3)
       .select("vec_a", "vec_b", "cosine")

@@ -17,11 +17,29 @@ import graft.queries.Tables.t
   */
 object SimilarityOps {
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Register the native vector expressions (graft.functions.VecOps):
+    * the aggregate(zip_with(...)) dot product and the hyperplane bucket
+    * are CodegenFallback HOFs evaluated interpreted per element per
+    * candidate pair; the native forms run the same IEEE ops in the same
+    * left-fold order (VecOpsSpec bit-identity), and the bucket's
+    * md5-derived hyperplane weights become class-load constants. */
+  private def registerVecFns(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      args => graft.functions.VecDot(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bucket8",
+      args => graft.functions.LshBucket8(args.head), "built-in")
+  }
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    registerVecFns(spark)
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+        // element-wise float->double widening: a native Cast (codegen),
+        // identical to the transform(..., cast) HOF it replaces
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+  }
 
   /** Brute-force cosine top-5 for the first 10 query vectors. */
   def simTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -33,7 +51,7 @@ object SimilarityOps {
       .orderBy(col("cos4").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos4", round(
-        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+        call_function("vec_dot", col("qv"), col("nv")) /
           (col("qn") * col("nn")), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -41,24 +59,15 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
-  /** 8-bit random-hyperplane LSH bucket per vector: bit p = sign of the dot
-    * product with an md5-derived hyperplane. */
-  private val bucketExpr =
-    """concat_ws('', transform(sequence(0, 7), p ->
-         case when aggregate(
-             zip_with(v, sequence(1, 64), (x, i) ->
-               x * (cast(conv(substring(md5(concat('p', p, '_', i)), 1, 2), 16, 10) as double) - 127.5)),
-             0d, (acc, x) -> acc + x) > 0d then '1' else '0' end))"""
-
   def simLshBuckets(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
-      .select(col("vec_id"), expr(bucketExpr).as("bucket"))
+      .select(col("vec_id"), call_function("lsh_bucket8", col("v")).as("bucket"))
       .orderBy("vec_id")
 
   /** ANN top-3 within each LSH bucket (the scale path: shuffle on bucket,
     * local quadratic only inside buckets of ~N/256). */
   def simAnnTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val e = vecs(spark, dir).withColumn("bucket", call_function("lsh_bucket8", col("v")))
     val a = e.select(col("bucket"), col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("bucket").as("bucket2"), col("vec_id").as("neighbor_id"),
@@ -67,7 +76,7 @@ object SimilarityOps {
       .orderBy(col("cos4").desc, col("neighbor_id").asc)
     a.join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos4", round(
-        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+        call_function("vec_dot", col("qv"), col("nv")) /
           (col("qn") * col("nn")), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -90,7 +99,7 @@ object SimilarityOps {
       .orderBy(col("ccos").desc, col("cid").asc)
     val assignAll = e.join(broadcast(cent))
       .withColumn("ccos", round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+        call_function("vec_dot", col("v"), col("cv")) /
           (col("nrm") * col("cn")), 4))
       .withColumn("crk", row_number().over(wAssign))
     val assigned = assignAll.filter(col("crk") === 1)
@@ -104,7 +113,7 @@ object SimilarityOps {
     probes.join(assigned,
         col("qcid") === col("cid") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos4", round(
-        expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+        call_function("vec_dot", col("qv"), col("nv")) /
           (col("qn") * col("nn")), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

@@ -52,14 +52,19 @@ object TextOps {
   }
 
   /** Rolling-window fingerprint: min md5 over all 5-char windows (the
-    * winnowing primitive for containment detection). */
-  def taFingerprint(spark: SparkSession, dir: String): DataFrame =
+    * winnowing primitive for containment detection). Native expression
+    * ([[graft.functions.RollingFingerprint]]); the previous HOF
+    * formulation — which the DuckDB oracle keeps — ran
+    * CodegenFallback-interpreted per character position. */
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint",
+      args => graft.functions.RollingFingerprint(args.head), "built-in")
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        expr("""array_min(transform(
-                  sequence(1, greatest(char_length(text) - 4, 1)),
-                  i -> md5(substring(text, i, 5))))""").as("fingerprint"))
+        call_function("rolling_fingerprint", col("text")).as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   /** chunk_text explode (P1): the ported reference chunker as a UDF. */
   def kgChunks(spark: SparkSession, dir: String): DataFrame = {
