@@ -116,22 +116,19 @@ object DedupOps {
   /** SimHash: 32-bit signature; bit j is the sign of the count-weighted sum
     * of md5-derived word bits. Near-identical docs share most bits.
     *
-    * Scale shape: ONE groupBy(doc_id) carrying 32 sum() aggregates — the
-    * per-bit sums combine map-side, so the shuffle moves one partial row
-    * per (doc, partition) instead of the previous 32×-exploded word rows
-    * (two shuffles, one of them 32× the word count). Summing ±1 per word
-    * INSTANCE equals the count-weighted sum per distinct word, so the
-    * word-level pre-aggregation shuffle is dropped too. */
+    * Scale shape: MAP-ONLY since round 4 — the signature is a per-doc fold
+    * over word instances (integer ± sums, order-independent), so the
+    * native [[graft.functions.SimHash32]] expression computes it with NO
+    * explode and NO shuffle at all. Round 3's groupBy(doc_id) with 32
+    * map-side-combined sums (itself down from the 32×-exploded round-2
+    * shape) still moved one partial row per (doc, partition) through an
+    * aggregate exchange; the DuckDB oracle keeps that formulation. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val inst = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
-      .withColumn("h", md5(col("wd")))
-    val sums = (1 to 32).map(j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
-    inst.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", args => graft.functions.SimHash32(args.head), "built-in")
+    t(spark, dir, "documents")
       .select(col("doc_id"),
-        concat((1 to 32).map(j =>
-          when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+        call_function("simhash32", split(col("text"), " ")).as("simhash"))
       .orderBy("doc_id")
   }
 
