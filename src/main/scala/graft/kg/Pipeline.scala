@@ -27,8 +27,16 @@ object Pipeline {
       wdDesc: Map[String, String],
       idf: Map[String, Double])
 
+  /** `release()` unpersists every plan this run cached (docOut, edges,
+    * flat nodes, statistics caches) — call it once the outputs are
+    * materialized. Callers that bulk-clean via a getPersistentRDDs diff
+    * (bench reps, the streaming foreachBatch) may keep doing that instead;
+    * both reach the same caches. Default no-op keeps runMaterialized
+    * (which caches nothing — every stage is table-backed) and test
+    * constructions unchanged. */
   final case class Result(nodes: DataFrame, edges: DataFrame,
-      components: DataFrame, metrics: DataFrame)
+      components: DataFrame, metrics: DataFrame,
+      release: () => Unit = () => ())
 
   def dictsFromCorpus(spark: SparkSession, c: SyntheticCorpus.Corpus): Dicts = {
     import spark.implicits._
@@ -150,11 +158,16 @@ object Pipeline {
     // cacheNarrow: plan-variant toggle for probes — the narrow stats
     // projection persist predates the flat nodes cache and may now be
     // redundant double-caching (the flat cache serves pruned reads)
-    val metrics = Statistics.compute(spark, nodes, edges, runId,
-        cacheNarrow = !sys.env.get("SPARK_GRAFT_STATS_NO_NARROW").contains("1"))
-      .unionByName(joinDecisionRows(spark, runId, rec))
+    val (stats, statsCaches) = Statistics.computeTracked(spark, nodes, edges,
+      runId,
+      cacheNarrow = !sys.env.get("SPARK_GRAFT_STATS_NO_NARROW").contains("1"))
+    val metrics = stats.unionByName(joinDecisionRows(spark, runId, rec))
 
-    Result(nodes, edges, components, metrics)
+    val cached: Seq[DataFrame] =
+      Seq(docOut, edges) ++ (if (cacheNodes) Seq(flatPlan) else Nil) ++
+        statsCaches
+    Result(nodes, edges, components, metrics,
+      release = () => cached.foreach(_.unpersist()))
   }
 
   private def joinDecisionRows(spark: SparkSession, runId: String,

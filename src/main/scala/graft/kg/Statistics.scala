@@ -35,15 +35,32 @@ object Statistics {
     * where column pruning already makes repeated scans cheap. */
   def compute(spark: SparkSession, nodesFull: DataFrame, edges: DataFrame,
       runId: String, cacheNarrow: Boolean = true): DataFrame =
-    passes(spark, nodesFull, edges, cacheNarrow).map(_._2)
+    computeTracked(spark, nodesFull, edges, runId, cacheNarrow)._1
+
+  /** Like [[compute]], but also returns the plans this call PERSISTED
+    * (the narrow node projection when `cacheNarrow`, and the tiny grouped
+    * counter table), so the caller can unpersist them once the metrics are
+    * materialized — compute() itself cannot: the returned plan is lazy and
+    * the caches exist precisely to serve its eventual execution. Callers
+    * that invoke compute repeatedly in one session (bench reps, per-query
+    * oracles) must release, or each call leaks its caches for the session
+    * lifetime. */
+  def computeTracked(spark: SparkSession, nodesFull: DataFrame,
+      edges: DataFrame, runId: String, cacheNarrow: Boolean = true)
+      : (DataFrame, Seq[DataFrame]) = {
+    val (ps, caches) = passes(spark, nodesFull, edges, cacheNarrow)
+    val df = ps.map(_._2)
       .reduce(_.unionByName(_))
       .select(lit(runId).as("run_id"), lit("stats").as("stage"),
         col("metric"), col("key"), col("value"))
+    (df, caches)
+  }
 
-  /** The five branch plans of the metrics union, individually addressable
-    * for per-pass scaling probes (StatsProbe). */
+  /** The branch plans of the metrics union, individually addressable
+    * for per-pass scaling probes (StatsProbe), plus the persisted plans. */
   private[kg] def passes(spark: SparkSession, nodesFull: DataFrame,
-      edges: DataFrame, cacheNarrow: Boolean): Seq[(String, DataFrame)] = {
+      edges: DataFrame, cacheNarrow: Boolean)
+      : (Seq[(String, DataFrame)], Seq[DataFrame]) = {
 
     // Every array is coalesced HERE: pass 2 concat()s them into one explode,
     // and Spark's concat returns NULL if ANY input array is NULL — a single
@@ -233,6 +250,7 @@ object Statistics {
       .select(row(lit("total"), lit("relationships"), col("c")).as("m"))
       .select("m.*")
 
-    Seq("linked" -> linked, "counters" -> counters, "relTotal" -> relTotal)
+    (Seq("linked" -> linked, "counters" -> counters, "relTotal" -> relTotal),
+      (if (cacheNarrow) Seq(nodes) else Nil) :+ grouped)
   }
 }

@@ -10,13 +10,28 @@ import org.apache.spark.sql.streaming.Trigger
   * New crawl segments land as parquet files under `pagesDir`; each
   * invocation processes exactly the files not yet seen (Structured
   * Streaming file-source checkpoint = the resume ledger, complementing the
-  * batch manifest protocol of [[KgTables]]) and APPENDS the resulting
+  * batch manifest protocol of [[KgTables]]) and adds the resulting
   * node/edge/metric rows to the output tables. Each micro-batch runs the
   * unchanged batch stages ([[Pipeline.run]]: extract → link → relate →
   * stats) via foreachBatch — valid because the edge/node output is a
   * per-document function (per-doc dedup, static dictionaries), so
   * streaming accumulation equals the one-shot batch run row-for-row
   * (KgStreamingSpec asserts this).
+  *
+  * Exactly-once END TO END, not just at the file-source ledger: foreachBatch
+  * is re-executed on restart if a crash lands between the table writes and
+  * the checkpoint commit, so each batch writes into its own
+  * `batch_id=<id>` partition directory with OVERWRITE — the replayed batch
+  * replaces its own partial output instead of appending a duplicate copy
+  * (the batch stages are deterministic per input file set, so the rewrite
+  * is byte-equivalent). Readers see `batch_id` as an ordinary partition
+  * column via parquet partition discovery.
+  *
+  * Metrics caveat: the appended kg_metrics rows are PER-SEGMENT statistics
+  * (per-batch top-10s, totals and percents under run_id=stream-N). Unlike
+  * node/edge rows they are not additive — a top-10 of per-batch top-10s is
+  * not the corpus top-10 — so corpus-level statistics must be recomputed
+  * over the accumulated tables: that is [[corpusMetrics]].
   *
   * At scale this is the "new segments arrive daily" entry: the dictionary
   * artifacts are prepared once ([[Pipeline.prepareLink]]) and reused across
@@ -48,9 +63,15 @@ object StreamingPipeline {
         val before = s.sparkContext.getPersistentRDDs.keySet
         val res = Pipeline.run(s, batch.as[PageRow], dicts, cfg,
           runId = s"stream-$batchId", prepared = Some(prep))
-        res.edges.write.mode("append").parquet(s"$tablesRoot/kg_edges")
-        res.nodes.write.mode("append").parquet(s"$tablesRoot/kg_nodes")
-        res.metrics.write.mode("append").parquet(s"$tablesRoot/kg_metrics")
+        // idempotent sink: one partition directory per batch, overwritten
+        // on foreachBatch replay (see scaladoc) — append-into-shared-dir
+        // would duplicate rows when a crash precedes the checkpoint commit
+        def sink(df: DataFrame, table: String): Unit =
+          df.write.mode("overwrite")
+            .parquet(s"$tablesRoot/$table/batch_id=$batchId")
+        sink(res.edges, "kg_edges")
+        sink(res.nodes, "kg_nodes")
+        sink(res.metrics, "kg_metrics")
         // drop only the caches THIS batch created (prepared dictionary
         // tables persist across batches)
         s.sparkContext.getPersistentRDDs
@@ -62,5 +83,22 @@ object StreamingPipeline {
       .start()
     query.awaitTermination()
     batches.get()
+  }
+
+  /** Corpus-level statistics over the ACCUMULATED node/edge tables — the
+    * batch recompute that the per-segment kg_metrics rows cannot replace
+    * (per-batch top-10s/percents are not additive; see class scaladoc).
+    * Node/edge rows ARE additive (per-document functions), so reading the
+    * union of all batch partitions and running the one-shot statistics
+    * pass over it equals a single batch run's metrics. */
+  def corpusMetrics(spark: SparkSession, tablesRoot: String,
+      runId: String = "corpus"): DataFrame = {
+    val (stats, caches) = Statistics.computeTracked(spark,
+      spark.read.parquet(s"$tablesRoot/kg_nodes").drop("batch_id"),
+      spark.read.parquet(s"$tablesRoot/kg_edges").drop("batch_id"),
+      runId, cacheNarrow = false)
+    val out = stats.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
   }
 }

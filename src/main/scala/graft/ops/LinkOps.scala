@@ -171,10 +171,24 @@ object LinkOps {
     val nodes = linkChainNodes(spark, dir)
     val edges = Seq.empty[(String, String, String, String)]
       .toDF("subject", "predicate", "object", "inferred")
-    graft.kg.Statistics.compute(spark, nodes, edges, "driver", cacheNarrow = false)
+    val (stats, caches) =
+      graft.kg.Statistics.computeTracked(spark, nodes, edges, "driver",
+        cacheNarrow = false)
+    // the returned plan is lazy (Verify materializes it later), so the
+    // caches created by THIS call cannot be released here — instead each
+    // call releases its predecessor's, bounding repeated invocations to
+    // one live (tiny) grouped-counter cache per session
+    lastCaches.synchronized {
+      lastCaches.keySet.removeIf(s => s.sparkContext.isStopped)
+      Option(lastCaches.put(spark, caches)).foreach(_.foreach(_.unpersist()))
+    }
+    stats
       .select("metric", "key", "value")
       .orderBy("metric", "key")
   }
+
+  private val lastCaches =
+    new java.util.HashMap[SparkSession, Seq[DataFrame]]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_link_chain" -> kgLinkChain _,

@@ -54,16 +54,18 @@ object MentionOps {
     * so rebuilding them on every query invocation — as rounds 2-3 did —
     * charged the 100-page pipeline micro-query with dictionary-prep fixed
     * costs that at real scale amortize to ~0 (the bench's kgRun already
-    * excludes them for the same reason). Weak keys: a stopped session's
-    * entry becomes unreachable with the session itself. */
+    * excludes them for the same reason). Eviction: entries of STOPPED
+    * sessions are purged on every access — a WeakHashMap cannot do this
+    * because the cached Prepared DataFrames strongly reference their
+    * SparkSession key, keeping the entry reachable forever. */
   private val prepCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        Map[KgConfig, (Pipeline.Dicts, graft.kg.Linking.Prepared)]]())
+    new java.util.HashMap[SparkSession,
+      Map[KgConfig, (Pipeline.Dicts, graft.kg.Linking.Prepared)]]()
 
   private def preparedFor(spark: SparkSession, cfg: KgConfig)
       : (Pipeline.Dicts, graft.kg.Linking.Prepared) =
     prepCache.synchronized {
+      prepCache.keySet.removeIf(s => s.sparkContext.isStopped)
       val byCfg = Option(prepCache.get(spark)).getOrElse(Map.empty)
       byCfg.get(cfg) match {
         case Some(v) => v

@@ -47,5 +47,24 @@ class KgStreamingSpec extends SparkSpec {
     // nodes accumulated for every page's entities too
     assert(spark.read.parquet(s"$outDir/kg_nodes").count() ==
       batch.nodes.count())
+
+    // sink idempotency under foreachBatch REPLAY (crash between the table
+    // writes and the checkpoint commit re-runs the batch): re-writing a
+    // batch's partition overwrites, never duplicates
+    val before = edgeSet(spark.read.parquet(s"$outDir/kg_edges"))
+    val replayed = spark.read.parquet(s"$outDir/kg_edges")
+      .filter($"batch_id" === 0).drop("batch_id").localCheckpoint(true)
+    replayed.write.mode("overwrite").parquet(s"$outDir/kg_edges/batch_id=0")
+    assert(edgeSet(spark.read.parquet(s"$outDir/kg_edges")) == before)
+
+    // corpus-level statistics: per-segment metric rows are NOT additive —
+    // the documented recompute over the accumulated tables must equal the
+    // one-shot batch run's stats rows
+    def statRows(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"stage" === "stats").select("metric", "key", "value")
+        .as[(String, String, Double)].collect().toSet
+    assert(statRows(StreamingPipeline.corpusMetrics(spark, outDir)) ==
+      statRows(batch.metrics))
+    batch.release()
   }
 }
