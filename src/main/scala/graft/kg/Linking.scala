@@ -251,15 +251,15 @@ object Linking {
     * per-run timed loop and persisted). Nothing here depends on the entity
     * rows — every member is O(dictionary). */
   final case class Prepared(
-      primary: DataFrame, secondary: DataFrame, redir: DataFrame,
-      links2: DataFrame, osPick: DataFrame, synPick: DataFrame,
+      primary: DataFrame, l1Dict: DataFrame, l2Dict: DataFrame,
+      osPick: DataFrame, synPick: DataFrame,
       enrichedWd: DataFrame, dbpSel: DataFrame, lookupPick: DataFrame,
       // L7 extra-language multilang tables: per language l, a
       // (mlx_qid_l, mlx_l:struct<label,url,description>) dictionary built
       // from that language's wiki pages via Wikidata sitelinks
       mlExtra: Seq[(String, DataFrame)] = Nil) {
     def all: Seq[DataFrame] =
-      Seq(primary, secondary, redir, links2, osPick, synPick,
+      Seq(primary, l1Dict, l2Dict, osPick, synPick,
         enrichedWd, dbpSel, lookupPick) ++ mlExtra.map(_._2)
     def persistAll(): Prepared = {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -295,6 +295,32 @@ object Linking {
     val links2 = sitelinks
       .filter(col("site") === s"${secondaryLang}wiki")
       .select(col("qid").as("sl_qid"), col("title").as("sl_title"))
+    // L1 dictionary with the redirect hop PRE-COMPOSED dictionary-side:
+    // the probe takes ONE join on the entity surface instead of
+    // redirect-resolve + primary — one fewer probe-side exchange in the
+    // salted (at-scale) regime, where every probe join reshuffles the
+    // entity rows. Key space: every redirect source (payload = the target
+    // page, possibly absent — the resolved lookup term must survive for
+    // L3 even when the target page does not exist) plus every primary
+    // title that is NOT itself a redirect source (a redirect shadows the
+    // direct title, exactly as the sequential hop did: the probe row
+    // followed from_title→to_title and never consulted its own title).
+    val pCols = primary.columns.map(primary(_)).toIndexedSeq
+    val l1Dict = redir
+      .join(primary, col("to_title") === col("w_title"), "left")
+      .select(col("from_title").as("l1_key") +:
+        col("to_title").as("l1_lookup") +: pCols: _*)
+      .unionByName(primary
+        .join(redir, primary("w_title") === redir("from_title"), "left_anti")
+        .select(primary("w_title").as("l1_key") +:
+          primary("w_title").as("l1_lookup") +: pCols: _*))
+    // L2 dictionary with the sitelink hop PRE-COMPOSED: qid → secondary
+    // page directly (sitelink titles without a secondary page drop out —
+    // indistinguishable from a probe miss, since sl_title itself is never
+    // projected). Again one probe-side exchange instead of two.
+    val l2Dict = links2
+      .join(secondary, col("sl_title") === col("w2_title"), "inner")
+      .select(col("sl_qid") +: secondary.columns.map(secondary(_)).toIndexedSeq: _*)
     // L3 lookup-term vocabulary: the gazetteer's canonical names are the
     // Wikidata primary-language labels; redirect targets extend it
     val lookupTerms = wd
@@ -333,7 +359,7 @@ object Linking {
     val mlLangs = cfg.extraLanguages
       .filter(l => l != cfg.language && l != secondaryLang).distinct
     Prepared(
-      primary = primary, secondary = secondary, redir = redir, links2 = links2,
+      primary = primary, l1Dict = l1Dict, l2Dict = l2Dict,
       osPick = opensearchPick(lookupTerms, primary, minLen),
       synPick = synonymPick(synonyms, primary, minLen),
       enrichedWd = enrichWdDict(wd, cfg, rec),
@@ -359,15 +385,17 @@ object Linking {
     val minLen = cfg.minExtractLen
     val secondaryLang = if (cfg.language == "de") "en" else "de"
 
-    // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true),
-    // then primary-language dictionary join
-    val withTitle = dictJoin(entities, prep.redir,
-        entities("entity"), col("from_title"), cfg, entities("url"),
-        site = "l1_redirects", rec = rec)
-      .withColumn("w_lookup", coalesce(col("to_title"), col("entity")))
-      .drop("from_title", "to_title")
-    val s1 = dictJoin(withTitle, prep.primary,
-      col("w_lookup"), col("w_title"), cfg, col("url"), site = "l1_primary", rec = rec)
+    // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true) +
+    // primary-language dictionary lookup as ONE probe join — the redirect
+    // hop is pre-composed into prep.l1Dict dictionary-side, so the fat
+    // entity rows cross one exchange here, not two. w_lookup (the resolved
+    // lookup term, consumed by L3's cleaned retry key) falls back to the
+    // entity surface on a miss, as the sequential coalesce did.
+    val s1 = dictJoin(entities, prep.l1Dict,
+        entities("entity"), col("l1_key"), cfg, entities("url"),
+        site = "l1_primary", rec = rec)
+      .withColumn("w_lookup", coalesce(col("l1_lookup"), col("entity")))
+      .drop("l1_key", "l1_lookup")
 
     // resolved = extract present and long enough (P14 needs_fallback gate,
     // wikipedia/service.py:998-1004; the same minimal-extract criterion is
@@ -375,11 +403,11 @@ object Linking {
     val ok1 = col("w_extract").isNotNull && length(col("w_extract")) >= minLen
 
     // L2 (fallback 1): other-language wiki via Wikidata sitelinks (L8/L9
-    // mechanism); only consulted where stage 1 is unresolved
-    val s2a = dictJoin(s1, prep.links2, s1("qid"), col("sl_qid"), cfg, s1("url"),
-      site = "l2_sitelinks", rec = rec)
-    val s2 = dictJoin(s2a, prep.secondary, col("sl_title"), col("w2_title"), cfg, s2a("url"),
-      site = "l2_secondary", rec = rec)
+    // mechanism); only consulted where stage 1 is unresolved. The
+    // sitelink→secondary-page hop is pre-composed into prep.l2Dict, so the
+    // probe joins once on the qid.
+    val s2 = dictJoin(s1, prep.l2Dict, s1("qid"), col("sl_qid"), cfg, s1("url"),
+      site = "l2_secondary", rec = rec).drop("sl_qid")
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
     // L3/L4 are GATED single-pass joins, not filter+union branches: a

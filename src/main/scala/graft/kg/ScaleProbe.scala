@@ -21,13 +21,19 @@ object ScaleProbe {
     import spark.implicits._
     val factory = new SyntheticCorpus.PageFactory(42L, 120)
     val dicts = Pipeline.dictsFromCorpus(spark, SyntheticCorpus.generate(0))
+    // SPARK_GRAFT_FORCE_SALTED=1 probes the at-scale join shape (every
+    // dictionary join on the salted shuffle-hash path)
+    val cfg =
+      if (sys.env.get("SPARK_GRAFT_FORCE_SALTED").contains("1"))
+        KgConfig.default.copy(forceSaltedJoins = true)
+      else KgConfig.default
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val a = f
       println(f"[scale]   $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       a
     }
-    val prep = t("prepare(once)")(Pipeline.prepareLink(spark, dicts))
+    val prep = t("prepare(once)")(Pipeline.prepareLink(spark, dicts, cfg))
     val keepIds = spark.sparkContext.getPersistentRDDs.keySet
     (0 until reps).foreach { r =>
       val pages = spark.range(nPages)
@@ -36,7 +42,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       println(s"[scale] rep=$r")
       val noNodeCache = sys.env.get("SPARK_GRAFT_NO_NODE_CACHE").contains("1")
-      val res = Pipeline.run(spark, pages, dicts, prepared = Some(prep),
+      val res = Pipeline.run(spark, pages, dicts, cfg, prepared = Some(prep),
         cacheNodes = !noNodeCache)
       val e = t("edges(extract+cache)")(res.edges.count())
       if (!noNodeCache) t("nodes(link)")(res.nodes.count())

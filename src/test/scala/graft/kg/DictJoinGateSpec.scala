@@ -74,9 +74,14 @@ class DictJoinGateSpec extends SparkSpec {
     val sites = res.metrics
       .filter(col("stage") === "link_plan" && col("metric").startsWith("dict_join"))
       .select("key").as[String].collect().toSet
-    for (s <- Seq("l1_redirects", "l1_primary", "l2_sitelinks", "l2_secondary",
+    // l1_primary/l2_secondary carry the PRE-COMPOSED redirect/sitelink hops
+    // (dictionary-side joins in prepare) — one probe join site per stage
+    for (s <- Seq("l1_primary", "l2_secondary",
         "l3_opensearch", "l4_synonym", "wd_enriched", "dbp_strict", "dbp_lookup"))
       assert(sites.contains(s), s"missing join-decision metric for site $s")
+    for (s <- Seq("l1_redirects", "l2_sitelinks"))
+      assert(!sites.contains(s),
+        s"pre-composed hop $s must not appear as a probe join site")
   }
 
   test("salted-regime Pipeline records the single L5 shuffle_hash scrape join") {
