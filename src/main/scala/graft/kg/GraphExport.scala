@@ -29,17 +29,30 @@ object GraphExport {
       case c => c.toString
     }
 
-  /** Write GraphML to a local path. `nodes` must carry (id, typ); `edges`
-    * (source, target, label). Dangling edge endpoints are legal GraphML
-    * but rejected here — the pipeline guarantees closed edge sets (R3). */
+  /** Write GraphML to a local path. `nodes` must carry (id, typ) and may
+    * carry a `component` column (exported as a node attribute — the
+    * reference colors its rendered graph by component,
+    * graph_builder.py:112); `edges` (source, target, label). Dangling edge
+    * endpoints are legal GraphML but rejected here — the pipeline
+    * guarantees closed edge sets (R3). */
   def writeGraphml(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val nodeLines = nodes.select(col("id").cast("string"), col("typ").cast("string"))
-      .distinct().orderBy("id")
-      .map { r =>
-        s"""    <node id="${esc(r.getString(0))}"><data key="d0">${esc(r.getString(1))}</data></node>"""
-      }
+    val hasComponent = nodes.columns.contains("component")
+    val nodeLines =
+      if (hasComponent)
+        nodes.select(col("id").cast("string"), col("typ").cast("string"),
+            col("component").cast("string"))
+          .distinct().orderBy("id")
+          .map { r =>
+            s"""    <node id="${esc(r.getString(0))}"><data key="d0">${esc(r.getString(1))}</data>""" +
+              s"""<data key="d2">${esc(r.getString(2))}</data></node>"""
+          }
+      else nodes.select(col("id").cast("string"), col("typ").cast("string"))
+        .distinct().orderBy("id")
+        .map { r =>
+          s"""    <node id="${esc(r.getString(0))}"><data key="d0">${esc(r.getString(1))}</data></node>"""
+        }
     val edgeLines = edges
       .select(col("source").cast("string"), col("target").cast("string"),
         col("label").cast("string"))
@@ -57,6 +70,8 @@ object GraphExport {
       pw.println("""<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""")
       pw.println("""  <key id="d0" for="node" attr.name="type" attr.type="string"/>""")
       pw.println("""  <key id="d1" for="edge" attr.name="predicate" attr.type="string"/>""")
+      if (hasComponent)
+        pw.println("""  <key id="d2" for="node" attr.name="component" attr.type="string"/>""")
       pw.println("""  <graph id="G" edgedefault="directed">""")
       nodeLines.toLocalIterator().forEachRemaining(pw.println)
       edgeLines.toLocalIterator().forEachRemaining(pw.println)
@@ -67,11 +82,22 @@ object GraphExport {
 
   /** Convenience projection from the pipeline's node/edge tables:
     * node id = entity name (the reference graph's node identity), edge
-    * label = predicate. */
-  def writeResult(res: Pipeline.Result, path: String): Unit =
+    * label = predicate, component = the canonicalization component the
+    * entity landed in (its own name when no alias/redirect connects it —
+    * the CC convention for isolated nodes). The components table is
+    * node-scale; broadcast-joined onto the presentation-scale node set. */
+  def writeResult(res: Pipeline.Result, path: String): Unit = {
+    val comp = res.components
+      .select(col("node").as("c_node"), col("component").as("c_comp"))
+    val nodes = res.nodes
+      .select(col("entity").as("id"), col("details.typ").as("typ"))
+      .join(broadcast(comp), col("id") === col("c_node"), "left")
+      .select(col("id"), col("typ"),
+        coalesce(col("c_comp"), col("id")).as("component"))
     writeGraphml(
-      res.nodes.select(col("entity").as("id"), col("details.typ").as("typ")),
+      nodes,
       res.edges.select(col("subject").as("source"), col("object").as("target"),
         col("predicate").as("label")),
       path)
+  }
 }

@@ -21,13 +21,16 @@ import graft.queries.Tables.t
   */
 object DedupOps {
 
-  /** 3-gram word shingles as a SQL HOF expression (codegen-friendly, no UDF). */
-  private val shingleExpr =
-    """array_distinct(transform(
-         sequence(1, greatest(size(ws) - 2, 1)),
-         i -> concat(element_at(ws, i), ' ',
-                     coalesce(try_element_at(ws, i + 1), ''), ' ',
-                     coalesce(try_element_at(ws, i + 2), ''))))"""
+  /** 3-gram word shingles as ONE native expression
+    * ([[graft.functions.Shingles3]]) — the HOF formulation (which the
+    * DuckDB oracle keeps, see `shingleSql`) ran CodegenFallback-interpreted
+    * per window; it was the last interpreted HOF on a headline path. */
+  private def shingles(spark: SparkSession,
+      ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles3", args => graft.functions.Shingles3(args.head), "built-in")
+    call_function("shingles3", ws)
+  }
 
   /** Exact dedup summary per source: total vs distinct-content counts. */
   def ddExact(spark: SparkSession, dir: String): DataFrame =
@@ -41,7 +44,7 @@ object DedupOps {
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), expr(shingleExpr).as("shs"))
+      .select(col("doc_id"), shingles(spark, col("ws")).as("shs"))
     val sh = d.select(col("doc_id"), explode(col("shs")).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("da", "s")

@@ -40,6 +40,43 @@ class GraphExportSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 
+  test("nodes carry the canonicalization component as a node attribute") {
+    val nodes = Seq(("a", "T"), ("b", "T"), ("c", "T"), ("d", "T"), ("e", "T"))
+      .toDF("entity", "t")
+      .select(org.apache.spark.sql.functions.col("entity"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("t").as("typ")).as("details"))
+    val edges = Seq(("a", "rel", "b"), ("c", "rel", "d"))
+      .toDF("subject", "predicate", "object")
+    // two components: {a,b} canonicalized to a, {c,d} to c; e is absent
+    // from the components table (isolated → falls back to its own id)
+    val components = Seq(("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"))
+      .toDF("node", "component")
+    val res = Pipeline.Result(nodes, edges, components, spark.emptyDataFrame)
+    val path = java.nio.file.Files.createTempFile("graft", ".graphml").toString
+    GraphExport.writeResult(res, path)
+    val doc = parse(path)
+    // the component key is declared
+    val keys = doc.getElementsByTagNameNS("*", "key")
+    val keyNames = (0 until keys.getLength).map(i =>
+      keys.item(i).getAttributes.getNamedItem("attr.name").getNodeValue).toSet
+    assert(keyNames.contains("component"))
+    // per-node component values: a,b → "a"; c,d → "c"
+    val nodeEls = doc.getElementsByTagNameNS("*", "node")
+    val compOf = (0 until nodeEls.getLength).map { i =>
+      val el = nodeEls.item(i).asInstanceOf[org.w3c.dom.Element]
+      val datas = el.getElementsByTagNameNS("*", "data")
+      val comp = (0 until datas.getLength).collectFirst {
+        case j if datas.item(j).getAttributes.getNamedItem("key")
+          .getNodeValue == "d2" => datas.item(j).getTextContent
+      }.get
+      el.getAttribute("id") -> comp
+    }.toMap
+    assert(compOf ==
+      Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c", "e" -> "e"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("XML-special characters in names and predicates are escaped") {
     val nodes = Seq(("a & b <x>", "Typ\"1"), ("c'd", "T")).toDF("id", "typ")
     val edges = Seq(("a & b <x>", "c'd", "hat <teil> & mehr"))
