@@ -208,14 +208,31 @@ object Pipeline {
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
       dicts.wdPartOf, cfg, useHtml = true, descByQid = dicts.wdDesc,
       idf = Some(dicts.idf))
-    val entities = tables.write(docOut.flatMap(_.entities).toDF(), "kg_entities",
-      runId, "extract_entities", fp)
+    // Scrape placement mirrors Pipeline.run's regime split (see the link
+    // stage comment there). Broadcast regime: each entity row CARRIES its
+    // document's L5 text in kg_entities — no kg_scrapes table (one fewer
+    // full-corpus-width stage write AND one fewer extract pass over the
+    // html), no L5 join downstream; the text is duplicated per entity
+    // (~3x) in exchange. Salted regime: kg_entities stays NARROW (the
+    // probe rows cross every salted exchange) and the text is written ONCE
+    // to kg_scrapes, re-attached by the single unsalted L5 join.
+    val carryScrape = !cfg.forceSaltedJoins
+    val entities = tables.write(
+      if (carryScrape)
+        docOut.toDF().select(
+            when(length(col("scrape")) > 0, col("scrape")).as("p_extract"),
+            explode(col("entities")).as("e"))
+          .select(col("e.*"), col("p_extract"))
+      else docOut.flatMap(_.entities).toDF(),
+      "kg_entities", runId, "extract_entities", fp)
     val edgesRaw = tables.write(docOut.flatMap(_.triples).toDF(), "kg_edges",
       runId, "extract_edges", fp, partitionBy = Seq("inferred"))
-    val scrapes = tables.write(
-      docOut.toDF().select(col("url").as("p_url"),
-        when(length(col("scrape")) > 0, col("scrape")).as("p_extract")),
-      "kg_scrapes", runId, "extract_scrapes", fp)
+    val scrapes =
+      if (carryScrape) spark.emptyDataFrame
+      else tables.write(
+        docOut.toDF().select(col("url").as("p_url"),
+          when(length(col("scrape")) > 0, col("scrape")).as("p_extract")),
+        "kg_scrapes", runId, "extract_scrapes", fp)
 
     val rec = new Linking.JoinRecorder
     val nodes = tables.write(
