@@ -84,9 +84,18 @@ object Pipeline {
     // deserialize the whole DocOut row (including the fat scrape column)
     // in every consumer, while InMemoryRelation + Catalyst explode prunes
     // each branch to exactly the columns it reads.
-    val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
+    val docOutAll = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
       dicts.wdPartOf, cfg, useHtml, dicts.wdDesc, idf = Some(dicts.idf))
       .toDF()
+    // SPARK_GRAFT_SPLIT_SCRAPE=1 (plan-variant probe, VERDICT r4 item 2a):
+    // drop the 1200-char scrape column from the docOut cache fill and let
+    // the link stage re-run the extract pass for its one p_extract read —
+    // trades a second extract execution for a narrower (cheaper-to-fill)
+    // cache. Measured r5 at 360k pages: LOSES at both thread counts (the
+    // fused extract costs more than caching the text; see PLANS.md), so
+    // the default keeps scrape in the cache.
+    val splitScrape = sys.env.get("SPARK_GRAFT_SPLIT_SCRAPE").contains("1")
+    val docOut = (if (splitScrape) docOutAll.drop("scrape") else docOutAll)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // edges are persisted NARROW: the statistics passes scan them twice
@@ -112,16 +121,19 @@ object Pipeline {
     // wire exactly once.
     val rec = new Linking.JoinRecorder
     val carryScrape = !cfg.forceSaltedJoins
+    // under the split-scrape probe the text column is not in the cache —
+    // the link-stage projections read the UNCACHED extract plan instead
+    val docWithScrape = if (splitScrape) docOutAll else docOut
     val entities =
       if (carryScrape)
-        docOut.select(
+        docWithScrape.select(
             when(length(col("scrape")) > 0, col("scrape")).as("p_extract"),
             explode(col("entities")).as("e"))
           .select(col("e.*"), col("p_extract"))
       else docOut.select(explode(col("entities")).as("e")).select("e.*")
     val scrapes =
       if (carryScrape) spark.emptyDataFrame
-      else docOut.select(col("url").as("p_url"),
+      else docWithScrape.select(col("url").as("p_url"),
         when(length(col("scrape")) > 0, col("scrape")).as("p_extract"))
     val prep = prepared.getOrElse(
       Linking.prepare(spark, dicts.wiki, dicts.redirects, dicts.wd, dicts.dbp,
