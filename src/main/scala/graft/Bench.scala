@@ -284,8 +284,14 @@ object Bench {
       val prep = prepFor(s)
       val salted = graft.kg.KgConfig.default.copy(forceSaltedJoins = true)
       val saltedPages = math.max(kgPages / 3, 10000)
-      kgRun(s, math.max(saltedPages / 20, 500), Some(prep), salted) // warmup
-      val r = kgRun(s, saltedPages, Some(prep), salted)
+      // warmup at /10 + min-of-2, mirroring the scaling reps: the salted
+      // plan has its own codegen/shuffle paths to JIT, and a single rep
+      // right after the heavy interleaved section kept catching the
+      // tail of its host churn (dedicated quiet probes ran 69 s where the
+      // single bench rep recorded 85-90 s)
+      kgRun(s, math.max(saltedPages / 10, 500), Some(prep), salted) // warmup
+      val r = (1 to 2).map(_ => kgRun(s, saltedPages, Some(prep), salted))
+        .minBy(_._3)
       System.err.println(f"[bench] salted local[32] (${saltedPages} pages): ${r._3}%.2fs")
       s.stop()
       r
