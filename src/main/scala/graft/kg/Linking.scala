@@ -251,6 +251,10 @@ object Linking {
     * per-run timed loop and persisted). Nothing here depends on the entity
     * rows — every member is O(dictionary). */
   final case class Prepared(
+      // `primary` is NOT consumed by the link chain (its payload is
+      // pre-composed into l1Dict/osPick/synPick) and is NOT persisted —
+      // kept only as the build lineage for diagnostics (the bench's
+      // prefix-index size metric)
       primary: DataFrame, l1Dict: DataFrame, l2Dict: DataFrame,
       osPick: DataFrame, synPick: DataFrame,
       enrichedWd: DataFrame, dbpSel: DataFrame, lookupPick: DataFrame,
@@ -259,7 +263,7 @@ object Linking {
       // from that language's wiki pages via Wikidata sitelinks
       mlExtra: Seq[(String, DataFrame)] = Nil) {
     def all: Seq[DataFrame] =
-      Seq(primary, l1Dict, l2Dict, osPick, synPick,
+      Seq(l1Dict, l2Dict, osPick, synPick,
         enrichedWd, dbpSel, lookupPick) ++ mlExtra.map(_._2)
     def persistAll(): Prepared = {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
