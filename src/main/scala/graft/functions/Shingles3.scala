@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash-set probe, and stays inside the surrounding WholeStageCodegen span
   * (same pattern as [[MinhashSig]], which fuses the identical shingling
   * with its md5 minima).
+  *
+  * Boundary: on a truly EMPTY input array the two formulations diverge —
+  * the HOF's element_at(ws, 1) throws under ANSI mode (on in this Spark 4
+  * setup) while this expression returns [null]. The divergence is
+  * unreachable through the one production caller (split() never yields an
+  * empty array), but callers feeding other sources must not assume the
+  * oracle HOF form agrees on n == 0.
   */
 case class Shingles3(child: Expression) extends UnaryExpression {
 

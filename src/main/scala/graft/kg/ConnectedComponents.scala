@@ -39,7 +39,14 @@ object ConnectedComponents {
     // pure scheduling latency (≈6 tiny jobs × ~5 iterations); a driver-side
     // union-find gives the identical (node, min-id) result in one job.
     // The distributed loop below is the 10^8-edge dictionary-scale path.
-    if (nEdges <= localThreshold) return localUnionFind(spark, raw)
+    if (nEdges <= localThreshold) {
+      val out = localUnionFind(spark, raw)
+      // the collect is done — drop the checkpoint blocks so repeated runs
+      // in one session (bench reps, streaming batches) don't accumulate
+      // block-manager storage
+      raw.unpersist()
+      return out
+    }
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 50000L).toInt))
     val input = raw.repartition(parts)
@@ -89,7 +96,12 @@ object ConnectedComponents {
         .select(col("w").as("u"), col("m").as("v"))
         .distinct()
 
-      e = small.localCheckpoint()
+      val next = small.localCheckpoint()
+      // the new checkpoint is materialized (eager) — the superseded
+      // iterate's blocks can go; keeping every iteration's checkpoint
+      // leaked one graph copy per iteration for the session lifetime
+      if (iter > 0) e.unpersist()
+      e = next
       prev = cur
       cur = checksum(e)
       iter += 1
@@ -98,9 +110,16 @@ object ConnectedComponents {
     // not present anymore (representatives, singletons) map to themselves
     val starred = e.select(col("u").as("node"), col("v").as("component"))
       .groupBy("node").agg(min("component").as("component"))
-    allNodes.join(starred, Seq("node"), "left")
+    val out = allNodes.join(starred, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
       .localCheckpoint() // materialize before restoring shuffle partitions
+    // only the checkpoint BACKING the returned DataFrame stays alive (it
+    // cannot be dropped here — its lineage is truncated); every
+    // intermediate block is released now that `out` is materialized
+    if (iter > 0) e.unpersist()
+    allNodes.unpersist()
+    raw.unpersist()
+    out
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }

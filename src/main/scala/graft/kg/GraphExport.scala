@@ -84,13 +84,19 @@ object GraphExport {
     * node id = entity name (the reference graph's node identity), edge
     * label = predicate, component = the canonicalization component the
     * entity landed in (its own name when no alias/redirect connects it —
-    * the CC convention for isolated nodes). The components table is
-    * node-scale; broadcast-joined onto the presentation-scale node set. */
+    * the CC convention for isolated nodes). The components table spans
+    * ALL alias/redirect dictionary nodes (DICTIONARY-scale, ~10^8 rows at
+    * target scale), so it is semi-joined down to the exported node ids
+    * BEFORE the broadcast — the broadcast side is then bounded by the
+    * presentation-scale export, not the dictionary. */
   def writeResult(res: Pipeline.Result, path: String): Unit = {
+    val exported = res.nodes
+      .select(col("entity").as("id"), col("details.typ").as("typ"))
     val comp = res.components
       .select(col("node").as("c_node"), col("component").as("c_comp"))
-    val nodes = res.nodes
-      .select(col("entity").as("id"), col("details.typ").as("typ"))
+      .join(exported.select(col("id")).distinct(),
+        col("c_node") === col("id"), "left_semi")
+    val nodes = exported
       .join(broadcast(comp), col("id") === col("c_node"), "left")
       .select(col("id"), col("typ"),
         coalesce(col("c_comp"), col("id")).as("component"))

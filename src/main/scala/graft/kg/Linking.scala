@@ -252,18 +252,18 @@ object Linking {
     * rows — every member is O(dictionary). */
   final case class Prepared(
       // `primary` is NOT consumed by the link chain (its payload is
-      // pre-composed into l1Dict/osPick/synPick) and is NOT persisted —
+      // pre-composed into l1Dict/osPick) and is NOT persisted —
       // kept only as the build lineage for diagnostics (the bench's
       // prefix-index size metric)
       primary: DataFrame, l1Dict: DataFrame, l2Dict: DataFrame,
-      osPick: DataFrame, synPick: DataFrame,
+      osPick: DataFrame,
       enrichedWd: DataFrame, dbpSel: DataFrame, lookupPick: DataFrame,
       // L7 extra-language multilang tables: per language l, a
       // (mlx_qid_l, mlx_l:struct<label,url,description>) dictionary built
       // from that language's wiki pages via Wikidata sitelinks
       mlExtra: Seq[(String, DataFrame)] = Nil) {
     def all: Seq[DataFrame] =
-      Seq(l1Dict, l2Dict, osPick, synPick,
+      Seq(l1Dict, l2Dict, osPick,
         enrichedWd, dbpSel, lookupPick) ++ mlExtra.map(_._2)
     def persistAll(): Prepared = {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -310,7 +310,7 @@ object Linking {
     // direct title, exactly as the sequential hop did: the probe row
     // followed from_title→to_title and never consulted its own title).
     val pCols = primary.columns.map(primary(_)).toIndexedSeq
-    val l1Dict = redir
+    val l1Base = redir
       .join(primary, col("to_title") === col("w_title"), "left")
       .select(col("from_title").as("l1_key") +:
         col("to_title").as("l1_lookup") +: pCols: _*)
@@ -318,6 +318,20 @@ object Linking {
         .join(redir, primary("w_title") === redir("from_title"), "left_anti")
         .select(primary("w_title").as("l1_key") +:
           primary("w_title").as("l1_lookup") +: pCols: _*))
+    // L4 PRE-COMPOSED into the L1 dictionary (round 6): the synonym pick
+    // (wikipedia/fallbacks.py:160-234 + synonym_utils.py — per term, the
+    // first ranked synonym with a usable page) is keyed on the RAW entity
+    // surface, the SAME probe key L1 uses, so a dictionary-side full-outer
+    // join lets ONE probe exchange serve both stages. Keys present only in
+    // the synonym table behave exactly like an L1 miss (null l1_lookup and
+    // w_* payload); keys present in both carry both payloads, and the
+    // probe consults syn_* only under the needs4 gate — the staged order
+    // (opensearch before synonym) is enforced at projection time.
+    val l1Dict = l1Base
+      .join(synonymPick(synonyms, primary, minLen),
+        col("l1_key") === col("syn_hit_term"), "full_outer")
+      .withColumn("l1_key", coalesce(col("l1_key"), col("syn_hit_term")))
+      .drop("syn_hit_term")
     // L2 dictionary with the sitelink hop PRE-COMPOSED: qid → secondary
     // page directly (sitelink titles without a secondary page drop out —
     // indistinguishable from a probe miss, since sl_title itself is never
@@ -365,7 +379,6 @@ object Linking {
     Prepared(
       primary = primary, l1Dict = l1Dict, l2Dict = l2Dict,
       osPick = opensearchPick(lookupTerms, primary, minLen),
-      synPick = synonymPick(synonyms, primary, minLen),
       enrichedWd = enrichWdDict(wd, cfg, rec),
       dbpSel = dbpSel, lookupPick = lookupPick,
       mlExtra = mlLangs.map(l => l -> mlTable(l)))
@@ -389,15 +402,19 @@ object Linking {
     val minLen = cfg.minExtractLen
     val secondaryLang = if (cfg.language == "de") "en" else "de"
 
-    // L1: redirect-resolve (1 hop, async_fetchers.py:231 redirects:true) +
-    // primary-language dictionary lookup as ONE probe join — the redirect
-    // hop is pre-composed into prep.l1Dict dictionary-side, so the fat
-    // entity rows cross one exchange here, not two. w_lookup (the resolved
-    // lookup term, consumed by L3's cleaned retry key) falls back to the
-    // entity surface on a miss, as the sequential coalesce did.
+    // L1 + L4: ONE probe join. The redirect hop (round 5,
+    // async_fetchers.py:231 redirects:true) AND the synonym pick (round 6)
+    // are PRE-COMPOSED into prep.l1Dict dictionary-side — both stages key
+    // on the raw entity surface, so the fat entity rows cross a single
+    // exchange for the two of them in the salted (at-scale) regime. The
+    // syn_* payload rides along and is consulted only under the needs4
+    // gate below, preserving the staged order (opensearch before synonym,
+    // wikipedia/fallbacks.py:82-234). w_lookup (the resolved lookup term,
+    // consumed by L3's cleaned retry key) falls back to the entity surface
+    // on a miss, as the sequential coalesce did.
     val s1 = dictJoin(entities, prep.l1Dict,
         entities("entity"), col("l1_key"), cfg, entities("url"),
-        site = "l1_primary", rec = rec)
+        site = "l1_syn_primary", rec = rec)
       .withColumn("w_lookup", coalesce(col("l1_lookup"), col("entity")))
       .drop("l1_key", "l1_lookup")
 
@@ -414,15 +431,31 @@ object Linking {
       site = "l2_secondary", rec = rec).drop("sl_qid")
     val ok2 = col("w2_extract").isNotNull && length(col("w2_extract")) >= minLen
 
-    // L3/L4 are GATED single-pass joins, not filter+union branches: a
-    // split/union would re-execute the shared L1/L2 join prefix once per
-    // branch (Spark has no cross-branch common-subplan reuse — measured 3×
-    // the link-stage cost at 480k pages). The staged-narrowing semantics
-    // (wikipedia/service.py:1156-1259: only the unresolved remainder
-    // consults each fallback) is expressed through a NULL join key for
-    // already-resolved rows — they never match, and when the pick table is
-    // broadcast they induce no shuffle at all.
+    // Early payload collapse (guide §2.3 — project before the exchange):
+    // ok1/ok2 are decided here, so the (categories, links, wikidata_id)
+    // candidate pairs collapse into one column each BEFORE the L3
+    // exchange — the salted L3 shuffle carries one copy instead of two.
+    // (w_/w2_ title+url+extract survive until after L3: the multilang
+    // struct and the remaining otherwise-branches need them individually.)
+    val s2c = s2
+      .withColumn("cat12",
+        when(ok2 && !ok1, col("w2_categories")).otherwise(col("w_categories")))
+      .withColumn("links12",
+        when(ok2 && !ok1, col("w2_links")).otherwise(col("w_links")))
+      .withColumn("wd12",
+        when(ok1, col("w_wikidata_id")).when(ok2, col("w2_wikidata_id")))
+      .drop("w_categories", "w2_categories", "w_links", "w2_links",
+        "w2_wikidata_id")
 
+    // L3 keeps the staged-narrowing semantics (wikipedia/service.py:
+    // 1156-1259: only the unresolved remainder consults each fallback)
+    // through a GATED key, not a filter+union branch: a split/union would
+    // re-execute the shared L1/L2 join prefix once per branch (Spark has
+    // no cross-branch common-subplan reuse — measured 3× the link-stage
+    // cost at 480k pages). The NULL key for already-resolved rows never
+    // matches, and when the pick table is broadcast they induce no
+    // shuffle at all.
+    //
     // L3 (fallback 2): opensearch suggestion pick (prep.osPick is built
     // entirely DICTIONARY-side — key space: all Wikidata primary-language
     // labels + redirect targets, the gazetteer's canonical vocabulary).
@@ -430,18 +463,96 @@ object Linking {
     // whitespace collapsed) — the reference's clean_title applied to
     // retry lookups (translation_utils.py:123).
     val needs3 = !(ok1 || ok2)
-    val s3 = dictJoin(s2, prep.osPick,
+    val s3 = dictJoin(s2c, prep.osPick,
       when(needs3, cleanTitleCol(lower(col("w_lookup")))), col("os_hit_key"),
       cfg, col("url"), site = "l3_opensearch", rec = rec)
     val ok3 = col("os_extract").isNotNull // null unless needs3 (gated key)
 
-    // L4 (fallback 3): synonym retry (prep.synPick: synonym table composed
-    // with the title dictionary, dictionary-side)
+    // L4 (fallback 3): synonym retry — PRE-COMPOSED into the L1 join
+    // (round 6): its syn_* payload is populated for ANY row whose surface
+    // is a synonym term, so the stage gate moves into ok4 itself (the old
+    // gated join key guaranteed syn_* null unless needs4; the staged
+    // outcome is identical because every syn_* consumer is ok4-gated).
     val needs4 = !(ok1 || ok2 || ok3)
-    val s4 = dictJoin(s3, prep.synPick,
-      when(needs4, col("entity")), col("syn_hit_term"), cfg, col("url"),
-      site = "l4_synonym", rec = rec)
-    val ok4 = col("syn_extract").isNotNull
+    val ok4 = needs4 && col("syn_extract").isNotNull
+
+    // Stage-3 collapse (guide §2.3/§8 — decide early, move one copy):
+    // after the L3 join every Wikipedia gate (ok1..ok4) is decided, so
+    // the FULL wiki projection — except the L5-dependent branches — is
+    // computed HERE and the per-stage candidate payloads (w_*, w2_*,
+    // os_*, syn_*, w_lookup) are dropped before any further exchange. In
+    // the salted regime the L7 extra-language joins and the L5 scrape
+    // join then shuffle ONE final copy of each field instead of up to
+    // four candidate copies. Each wx_* is the original ok1..ok4
+    // when-chain with the ok1/ok2 branches partially evaluated (ok3/ok4
+    // imply !ok1 && !ok2, so branch order can be rotated without changing
+    // any outcome).
+    //
+    // L7 wikipedia_multilang (models/data_models.py:22-33 +
+    // wikipedia/service.py:405-458): per-language {label, url, description}
+    // — the primary entry reflects the de-language page that resolved
+    // (L1/L3/L4 are all primary-language pages), the secondary entry the
+    // sitelinked page whenever it exists. Entries with no page are
+    // filtered out (the reference omits absent languages). Built as
+    // map_concat of conditionally-empty single-entry maps — NOT
+    // map(...)+map_filter, whose lambda is an interpreted HOF per node.
+    val mlEmpty = map().cast(
+      "map<string,struct<label:string,url:string,description:string>>")
+    def mlEntry(lang: String, label: Column, url: Column, descr: Column): Column =
+      when(label.isNotNull, map(lit(lang), struct(label.as("label"),
+        url.as("url"), descr.as("description")))).otherwise(mlEmpty)
+    val mlPrimary = mlEntry(cfg.language,
+      when(ok3, col("os_title")).when(ok4, col("syn_title")).otherwise(col("w_title")),
+      when(ok3, col("os_url")).when(ok4, col("syn_url")).otherwise(col("w_url")),
+      when(ok3, col("os_extract")).when(ok4, col("syn_extract")).otherwise(col("w_extract")))
+    val mlSecondary = mlEntry(secondaryLang,
+      col("w2_title"), col("w2_url"), col("w2_extract"))
+    val carryCols = entities.columns.map(col).toIndexedSeq
+    val s3c = s3.select(carryCols ++ Seq(
+      map_concat(mlPrimary, mlSecondary).as("ml_base"),
+      when(ok3, col("os_extract")).when(ok4, col("syn_extract"))
+        .when(ok2 && !ok1, col("w2_extract"))
+        .otherwise(col("w_extract")) // short primary extract still reported
+        .as("wx_extract"),
+      when(ok2 && !ok1, lit(s"${secondaryLang}_wikipedia"))
+        .when(ok3, lit("opensearch"))
+        .when(ok4, lit("synonym"))
+        .otherwise(lit(null).cast("string")).as("wx_fallback"),
+      // P13 language-consistency gate (service.py:971-981): a page found
+      // in the wrong language (L2) keeps status=found but its url is
+      // demoted to url_alt; the primary url slot stays empty.
+      when(ok2 && !ok1, lit(null).cast("string"))
+        .when(ok3, col("os_url"))
+        .when(ok4, col("syn_url"))
+        .otherwise(col("w_url")).as("wx_url"),
+      when(ok2 && !ok1, col("w2_url")).otherwise(lit(null).cast("string"))
+        .as("wx_url_alt"),
+      cleanCategories(coalesce(
+        when(ok3, col("os_categories")).when(ok4, col("syn_categories"))
+          .otherwise(col("cat12")),
+        array())).as("wx_categories"),
+      coalesce(
+        when(ok3, col("os_links")).when(ok4, col("syn_links"))
+          .otherwise(col("links12")),
+        array().cast("array<string>")).as("wx_links"),
+      coalesce(
+        when(ok3, col("os_wikidata_id")).when(ok4, col("syn_wikidata_id"))
+          .otherwise(col("wd12")),
+        col("w_wikidata_id")).as("wx_wikidata_id"),
+      (ok1 || ok2 || ok3 || ok4).as("resolved4"),
+      col("w_extract").isNotNull.as("any_extract")): _*)
+
+    // L7 extra languages: one dictionary join per configured language,
+    // keyed on the effective qid (identical to the final wiki_wikidata_id
+    // coalesce — fully decided post-L3). Runs BEFORE the L5 scrape join:
+    // both are independent left joins, and this order lets the collapsed
+    // narrow rows cross the ml exchanges. Each table is O(dictionary) and
+    // joins through the same size-gated dictJoin.
+    val effQid = coalesce(col("qid"), col("wx_wikidata_id"))
+    val withMl = prep.mlExtra.foldLeft(s3c) { case (df, (l, tbl)) =>
+      dictJoin(df, tbl, effQid, col(s"mlx_qid_$l"), cfg, col("url"),
+        site = s"l7_ml_$l", rec = rec).drop(s"mlx_qid_$l")
+    }
 
     // L5 (fallback 4): deterministic "scrape" = the page text already
     // extracted by the S2 UDF in the extract pass (carried on DocOut so the
@@ -460,53 +571,20 @@ object Linking {
     // per-row NON-matching key (NUL-prefixed url) rather than NULL:
     // null keys all hash to one reducer, and the resolved majority would
     // collapse into a single straggler partition.
-    val needs5 = !(ok1 || ok2 || ok3 || ok4)
+    val needs5 = !col("resolved4")
     val s5 =
-      if (s4.columns.contains("p_extract")) s4
+      if (withMl.columns.contains("p_extract")) withMl
       else {
         rec.add(JoinDecision("l5_scrapes", "shuffle_hash",
           scrapes.queryExecution.optimizedPlan.stats.sizeInBytes, fromRowCount = false))
         val l5Key = when(needs5, col("url"))
           .otherwise(concat(lit("\u0000"), col("url")))
-        s4.join(scrapes.hint("shuffle_hash"), l5Key === col("p_url"), "left")
+        withMl.join(scrapes.hint("shuffle_hash"), l5Key === col("p_url"), "left")
           .drop("p_url")
       }
     val ok5 = needs5 && col("p_extract").isNotNull &&
       length(col("p_extract")) >= minLen
 
-    // L7 extra languages: one dictionary join per configured language,
-    // keyed on the effective qid (the same expression the final
-    // wiki_wikidata_id projection resolves to). Each table is
-    // O(dictionary) and joins through the same size-gated dictJoin.
-    val effQid = coalesce(col("qid"),
-      when(ok1, col("w_wikidata_id")).when(ok2, col("w2_wikidata_id"))
-        .when(ok3, col("os_wikidata_id")).when(ok4, col("syn_wikidata_id")),
-      col("w_wikidata_id"))
-    val all = prep.mlExtra.foldLeft(s5) { case (df, (l, tbl)) =>
-      dictJoin(df, tbl, effQid, col(s"mlx_qid_$l"), cfg, col("url"),
-        site = s"l7_ml_$l", rec = rec).drop(s"mlx_qid_$l")
-    }
-
-    // L7 wikipedia_multilang (models/data_models.py:22-33 +
-    // wikipedia/service.py:405-458): per-language {label, url, description}
-    // for the primary/secondary pair, built from the already-joined
-    // dictionaries — the primary entry reflects the de-language page that
-    // resolved (L1/L3/L4 are all primary-language pages), the secondary
-    // entry the sitelinked page whenever it exists. Entries with no page
-    // are filtered out (the reference omits absent languages).
-    // Built as map_concat of conditionally-empty single-entry maps — NOT
-    // map(...)+map_filter, whose lambda is an interpreted HOF per node.
-    val mlEmpty = map().cast(
-      "map<string,struct<label:string,url:string,description:string>>")
-    def mlEntry(lang: String, label: Column, url: Column, descr: Column): Column =
-      when(label.isNotNull, map(lit(lang), struct(label.as("label"),
-        url.as("url"), descr.as("description")))).otherwise(mlEmpty)
-    val mlPrimary = mlEntry(cfg.language,
-      when(ok3, col("os_title")).when(ok4, col("syn_title")).otherwise(col("w_title")),
-      when(ok3, col("os_url")).when(ok4, col("syn_url")).otherwise(col("w_url")),
-      when(ok3, col("os_extract")).when(ok4, col("syn_extract")).otherwise(col("w_extract")))
-    val mlSecondary = mlEntry(secondaryLang,
-      col("w2_title"), col("w2_url"), col("w2_extract"))
     // extra-language entries from the joined sitelink tables (absent
     // languages contribute an empty map, like the reference's omission)
     val mlExtras = prep.mlExtra.map { case (l, _) =>
@@ -514,52 +592,22 @@ object Linking {
         .otherwise(mlEmpty)
     }
     val multilang =
-      map_concat(Seq(mlPrimary, mlSecondary) ++ mlExtras: _*).as("wiki_multilang")
+      map_concat(col("ml_base") +: mlExtras: _*).as("wiki_multilang")
 
-    // P13 language-consistency gate (service.py:971-981): a page found in
-    // the wrong language (L2) keeps status=found but its url is demoted to
-    // url_alt; the primary url slot stays empty.
     val keep = entities.columns.filter(_ != "p_extract").map(col).toIndexedSeq
-    all.select(keep ++ Seq(
+    s5.select(keep ++ Seq(
       multilang,
-      when(ok1, col("w_extract"))
-        .when(ok2, col("w2_extract"))
-        .when(ok3, col("os_extract"))
-        .when(ok4, col("syn_extract"))
-        .when(ok5, col("p_extract"))
-        .otherwise(col("w_extract")) // short primary extract still reported
+      when(ok5, col("p_extract")).otherwise(col("wx_extract"))
         .as("wiki_extract"),
-      when(ok1, lit(null).cast("string"))
-        .when(ok2, lit(s"${secondaryLang}_wikipedia"))
-        .when(ok3, lit("opensearch"))
-        .when(ok4, lit("synonym"))
-        .when(ok5, lit("beautifulsoup"))
-        .otherwise(lit(null).cast("string"))
+      when(ok5, lit("beautifulsoup")).otherwise(col("wx_fallback"))
         .as("wiki_fallback_source"),
-      when(ok1, col("w_url"))
-        .when(ok2, lit(null).cast("string")) // P13: lang mismatch → demoted
-        .when(ok3, col("os_url"))
-        .when(ok4, col("syn_url"))
-        .otherwise(col("w_url"))
-        .as("wiki_url"),
-      when(ok2 && !ok1, col("w2_url")).otherwise(lit(null).cast("string"))
-        .as("wiki_url_alt"),
-      cleanCategories(coalesce(
-        when(ok1, col("w_categories")).when(ok2, col("w2_categories"))
-          .when(ok3, col("os_categories")).when(ok4, col("syn_categories"))
-          .otherwise(col("w_categories")),
-        array())).as("wiki_categories"),
-      coalesce(
-        when(ok1, col("w_links")).when(ok2, col("w2_links"))
-          .when(ok3, col("os_links")).when(ok4, col("syn_links"))
-          .otherwise(col("w_links")),
-        array().cast("array<string>")).as("wiki_links"),
-      coalesce(
-        when(ok1, col("w_wikidata_id")).when(ok2, col("w2_wikidata_id"))
-          .when(ok3, col("os_wikidata_id")).when(ok4, col("syn_wikidata_id")),
-        col("w_wikidata_id")).as("wiki_wikidata_id"),
+      col("wx_url").as("wiki_url"),
+      col("wx_url_alt").as("wiki_url_alt"),
+      col("wx_categories").as("wiki_categories"),
+      col("wx_links").as("wiki_links"),
+      col("wx_wikidata_id").as("wiki_wikidata_id"),
       // P14 status derivation: found iff any extract
-      when(ok1 || ok2 || ok3 || ok4 || ok5 || col("w_extract").isNotNull,
+      when(col("resolved4") || ok5 || col("any_extract"),
         lit("found")).otherwise(lit("not_found")).as("wiki_status")): _*)
   }
 

@@ -29,11 +29,14 @@ object Pipeline {
 
   /** `release()` unpersists every plan this run cached (docOut, edges,
     * flat nodes, statistics caches) — call it once the outputs are
-    * materialized. Callers that bulk-clean via a getPersistentRDDs diff
-    * (bench reps, the streaming foreachBatch) may keep doing that instead;
-    * both reach the same caches. Default no-op keeps runMaterialized
-    * (which caches nothing — every stage is table-backed) and test
-    * constructions unchanged. */
+    * materialized. The ONE block it deliberately excludes is the
+    * localCheckpoint backing `components` (its lineage is truncated, so
+    * dropping it would make the returned DataFrame unreadable; CC's
+    * intermediate checkpoints clean themselves up). Callers that
+    * bulk-clean via a getPersistentRDDs diff (bench reps, the streaming
+    * foreachBatch) additionally reclaim that final block. Default no-op
+    * keeps runMaterialized (which caches nothing — every stage is
+    * table-backed) and test constructions unchanged. */
   final case class Result(nodes: DataFrame, edges: DataFrame,
       components: DataFrame, metrics: DataFrame,
       release: () => Unit = () => ())
@@ -196,13 +199,21 @@ object Pipeline {
     * file-backed (the Iceberg-snapshot-id stand-in); otherwise a hash of
     * the canonicalized logical plan. The previous `pages.count()` was a
     * complete extra pass over the corpus — at 10^12 rows, a full scan spent
-    * only on naming the run. */
-  private def fingerprintOf(pages: Dataset[PageRow]): String = {
+    * only on naming the run. The scrape-placement REGIME (broadcast:
+    * p_extract carried on kg_entities, no kg_scrapes table; salted: narrow
+    * kg_entities + kg_scrapes) is folded in too: the regimes write
+    * different kg_entities schemas, so a config flip must invalidate the
+    * extract stages instead of resuming into a mismatched layout (the L5
+    * compat join would otherwise hit a missing p_url column, or silently
+    * reuse the other regime's layout). */
+  private def fingerprintOf(pages: Dataset[PageRow], cfg: KgConfig): String = {
     val files = pages.inputFiles
     val src = if (files.nonEmpty) files.sorted.mkString("\n")
               else s"plan:${pages.queryExecution.logical.semanticHash()}"
     val md = java.security.MessageDigest.getInstance("SHA-1")
-    "in=" + md.digest(src.getBytes("UTF-8")).take(8).map(b => f"${b & 0xff}%02x").mkString
+    val regime = if (cfg.forceSaltedJoins) "salted" else "carry"
+    "in=" + md.digest(src.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString + s"+$regime"
   }
 
   /** Materializing run with snapshot/resume (SURVEY §7.4): each stage writes
@@ -215,7 +226,7 @@ object Pipeline {
       cfg: KgConfig = KgConfig.default,
       runId: String = "run1"): Result = {
     import spark.implicits._
-    val fp = fingerprintOf(pages)
+    val fp = fingerprintOf(pages, cfg)
 
     val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
       dicts.wdPartOf, cfg, useHtml = true, descByQid = dicts.wdDesc,

@@ -46,7 +46,13 @@ object DedupOps {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingles(spark, col("ws")).as("shs"))
     val sh = d.select(col("doc_id"), explode(col("shs")).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // |shingle set| directly from the (already-distinct) shingle array —
+    // the explode+groupBy formulation (which the DuckDB oracle keeps) paid
+    // an aggregate exchange and a THIRD execution of the shingle map pass
+    // for a value that is just size(shs) (guide §2.4: remove shuffles
+    // outright). count(*)-over-explode returns long, so cast to keep the
+    // downstream arithmetic and schema identical.
+    val sizes = d.select(col("doc_id"), size(col("shs")).cast("long").as("sz"))
     val a = sh.toDF("da", "s")
     val b = sh.toDF("db", "s2")
     val inter = a.join(b, col("s") === col("s2") && col("da") < col("db"))

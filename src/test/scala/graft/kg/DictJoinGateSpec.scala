@@ -74,14 +74,15 @@ class DictJoinGateSpec extends SparkSpec {
     val sites = res.metrics
       .filter(col("stage") === "link_plan" && col("metric").startsWith("dict_join"))
       .select("key").as[String].collect().toSet
-    // l1_primary/l2_secondary carry the PRE-COMPOSED redirect/sitelink hops
-    // (dictionary-side joins in prepare) — one probe join site per stage
-    for (s <- Seq("l1_primary", "l2_secondary",
-        "l3_opensearch", "l4_synonym", "wd_enriched", "dbp_strict", "dbp_lookup"))
+    // l1_syn_primary carries the PRE-COMPOSED redirect hop (round 5) AND
+    // the synonym pick (round 6); l2_secondary the pre-composed sitelink
+    // hop — one probe join site per remaining stage
+    for (s <- Seq("l1_syn_primary", "l2_secondary",
+        "l3_opensearch", "wd_enriched", "dbp_strict", "dbp_lookup"))
       assert(sites.contains(s), s"missing join-decision metric for site $s")
-    for (s <- Seq("l1_redirects", "l2_sitelinks"))
+    for (s <- Seq("l1_redirects", "l2_sitelinks", "l1_primary", "l4_synonym"))
       assert(!sites.contains(s),
-        s"pre-composed hop $s must not appear as a probe join site")
+        s"pre-composed stage $s must not appear as a probe join site")
   }
 
   test("salted-regime Pipeline records the single L5 shuffle_hash scrape join") {
