@@ -12,7 +12,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    // override with SPARK_GRAFT_PLAN_SF to audit the plan at another
+    // scale (join-strategy gates are size-dependent)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_join_agg", "q05_anti_join", "q01_agg", "dd_minhash_lsh", "sim_ann_topk")
     names.foreach { n =>
