@@ -150,11 +150,13 @@ object DocProcess extends Serializable {
     val relKeys = mutable.HashSet.empty[(Set[String], String)]
     explicit.foreach(t => relKeys += ((Set(t.subject, t.`object`), t.predicate)))
     val pred = partOfPredicate(lang)
+    // hoisted: `for { a <- xs; b <- ys }` re-evaluates ys per outer element
+    lazy val byEntityName = entities.sortBy(_.entity)
     val implicitTriples =
       if (!cfg.enableEntityInference) Vector.empty[TripleRow]
       else (for {
-        a <- entities.sortBy(_.entity)
-        b <- entities.sortBy(_.entity)
+        a <- byEntityName
+        b <- byEntityName
         if a.entity != b.entity
         if partOf.getOrElse(a.qid, Set.empty).contains(b.qid)
         if !relKeys.contains((Set(a.entity, b.entity), pred))

@@ -56,11 +56,17 @@ object Linking {
   def labelFromUri(uri: Column): Column = {
     val prefix = "http://dbpedia.org/resource/"
     val afterPrefix = substring(uri, prefix.length + 1, Int.MaxValue)
+    // regex-free forms (round 6, guide §4.1 — this projection runs per
+    // exploded counter element in the statistics pass): str.replace is a
+    // literal replace-all exactly like the reference's, and the last path
+    // component via substring_index matches regexp_extract("([^/]+)$"):
+    // both yield "" when the uri ends with '/'.
     val dbpLabel = when(afterPrefix.startsWith("Category:"),
-      regexp_replace(afterPrefix, "Category:", "")).otherwise(afterPrefix)
+      call_function("replace", afterPrefix, lit("Category:"), lit("")))
+      .otherwise(afterPrefix)
     when(uri.startsWith(prefix), translate(dbpLabel, "_", " "))
       .when(uri.contains("/"),
-        translate(regexp_extract(uri, "([^/]+)$", 1), "_", " "))
+        translate(substring_index(uri, "/", -1), "_", " "))
       .otherwise(uri)
   }
 
