@@ -54,6 +54,22 @@ object LinkStageProbe {
       val flat = Linking.linkFlat(spark, entities, prep,
         spark.emptyDataFrame, cfg)
       t("B flat compute noop")(noop(flat))
+      // per-column knockouts: which fat column owns the compute cost?
+      t("B1 -multilang")(noop(flat.drop("wiki_multilang")))
+      t("B2 -multilang -wiki_extract")(
+        noop(flat.drop("wiki_multilang", "wiki_extract")))
+      t("B3 -ml -wx -categories -links")(noop(flat.drop(
+        "wiki_multilang", "wiki_extract", "wiki_categories", "wiki_links")))
+      t("B4 -all wd arrays/maps too")(noop(flat.drop(
+        "wiki_multilang", "wiki_extract", "wiki_categories", "wiki_links",
+        "wd_labels", "wd_descriptions", "wd_aliases", "wd_instance_of",
+        "wd_subclass_of", "wd_part_of", "wd_has_part")))
+      t("B5 -dbp payload too")(noop(flat.drop(
+        "wiki_multilang", "wiki_extract", "wiki_categories", "wiki_links",
+        "wd_labels", "wd_descriptions", "wd_aliases", "wd_instance_of",
+        "wd_subclass_of", "wd_part_of", "wd_has_part",
+        "dbp_abstract", "dbp_types", "dbp_categories", "dbp_subjects",
+        "dbp_part_of", "dbp_has_part")))
       val flatP = Linking.linkFlat(spark, entities, prep,
         spark.emptyDataFrame, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

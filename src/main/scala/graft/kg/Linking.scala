@@ -597,8 +597,13 @@ object Linking {
       when(col(s"mlx_$l").isNotNull, map(lit(l), col(s"mlx_$l")))
         .otherwise(mlEmpty)
     }
+    // with no extra languages the map is already complete — a 1-arg
+    // map_concat would still deep-copy every entry per row (round 6:
+    // the multilang column owns ~3.7 s of the 13.6 s flat compute at
+    // 1.08M pages, and the default config has no extras)
     val multilang =
-      map_concat(col("ml_base") +: mlExtras: _*).as("wiki_multilang")
+      (if (mlExtras.isEmpty) col("ml_base")
+       else map_concat(col("ml_base") +: mlExtras: _*)).as("wiki_multilang")
 
     val keep = entities.columns.filter(_ != "p_extract").map(col).toIndexedSeq
     s5.select(keep ++ Seq(
@@ -733,37 +738,36 @@ object Linking {
       // already tried (that one failed strict)
       !(col("lk_uri") <=> col("dbp_uri"))
 
-    // freeze the stage outcome as boolean columns BEFORE overwriting the
-    // dbp_* columns (a when(strictOk, ...) chain would re-resolve against
-    // the already-overwritten columns)
-    val merged = withLookup
-      .withColumn("__strict", strictOk)
-      .withColumn("__lookup", coalesce(lookupOk, lit(false)))
-    merged
-      .withColumn("dbp_fallback_source",
-        when(!col("__strict") && col("__lookup"), lit("lookup_api"))
-          .otherwise(lit(null).cast("string")))
-      .withColumn("dbp_label",
-        when(col("__strict"), col("dbp_label")).when(col("__lookup"), col("lk_label")))
-      .withColumn("dbp_abstract",
-        when(col("__strict"), col("dbp_abstract")).when(col("__lookup"), col("lk_abstract")))
-      .withColumn("dbp_types",
-        when(col("__strict"), col("dbp_types")).when(col("__lookup"), col("lk_types")))
-      .withColumn("dbp_categories",
-        when(col("__strict"), col("dbp_categories")).when(col("__lookup"), col("lk_categories")))
-      .withColumn("dbp_subjects",
-        when(col("__strict"), col("dbp_subjects")).when(col("__lookup"), col("lk_subjects")))
-      .withColumn("dbp_part_of",
-        when(col("__strict"), col("dbp_part_of")).when(col("__lookup"), col("lk_part_of")))
-      .withColumn("dbp_has_part",
-        when(col("__strict"), col("dbp_has_part")).when(col("__lookup"), col("lk_has_part")))
-      .withColumn("dbp_uri",
-        when(col("__lookup"), col("lk_uri")).otherwise(col("dbp_uri")))
-      .withColumn("dbp_status",
-        when(col("__strict") || col("__lookup"), lit("linked")).otherwise(lit("not_found")))
-      .drop("dbp_uri_dict", "dbp_label_src", "lk_key", "lk_uri", "lk_label",
-        "lk_abstract", "lk_types", "lk_categories", "lk_subjects",
-        "lk_part_of", "lk_has_part", "__strict", "__lookup")
+    // Merge strict/lookup outcomes in ONE projection (round 6): the
+    // previous 11-deep withColumn overwrite chain produced 11 stacked
+    // Projects whose collapse duplicated the __strict/__lookup gate
+    // expressions into every consumer; a single select keeps one Project
+    // and lets codegen's subexpression elimination evaluate each gate
+    // once per row. The gate expressions are evaluated against the
+    // PRE-overwrite columns exactly as the frozen __strict/__lookup
+    // booleans were (values bit-identical, oracle-verified).
+    val strict = strictOk
+    val lookup = coalesce(lookupOk, lit(false))
+    val dropped = Set("dbp_uri_dict", "dbp_label_src", "lk_key", "lk_uri",
+      "lk_label", "lk_abstract", "lk_types", "lk_categories", "lk_subjects",
+      "lk_part_of", "lk_has_part",
+      // overwritten below
+      "dbp_fallback_source", "dbp_label", "dbp_abstract", "dbp_types",
+      "dbp_categories", "dbp_subjects", "dbp_part_of", "dbp_has_part",
+      "dbp_uri", "dbp_status")
+    val carry = withLookup.columns.filterNot(dropped).map(col).toIndexedSeq
+    def merged(name: String): Column =
+      when(strict, col(name)).when(lookup, col("lk_" + name.stripPrefix("dbp_")))
+        .as(name)
+    withLookup.select(carry ++ Seq(
+      when(!strict && lookup, lit("lookup_api"))
+        .otherwise(lit(null).cast("string")).as("dbp_fallback_source"),
+      merged("dbp_label"), merged("dbp_abstract"), merged("dbp_types"),
+      merged("dbp_categories"), merged("dbp_subjects"), merged("dbp_part_of"),
+      merged("dbp_has_part"),
+      when(lookup, col("lk_uri")).otherwise(col("dbp_uri")).as("dbp_uri"),
+      when(strict || lookup, lit("linked")).otherwise(lit("not_found"))
+        .as("dbp_status")): _*)
   }
 
   /** Full L-chain: Wikipedia → Wikidata → DBpedia (orchestrator order),
