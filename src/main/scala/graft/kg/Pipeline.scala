@@ -170,12 +170,17 @@ object Pipeline {
     // are recorded at plan-construction time — surfaced as metric rows so
     // plan drift at scale is observable in the run output, not just in
     // executor logs
-    // cacheNarrow: plan-variant toggle for probes — the narrow stats
-    // projection persist predates the flat nodes cache and may now be
-    // redundant double-caching (the flat cache serves pruned reads)
+    // cacheNarrow=false (round 6): the narrow stats persist predates the
+    // flat nodes cache and became pure double-caching — only ONE pass
+    // (counters) reads the fat array columns, so re-encoding them into a
+    // second cache costs more than the single pruned flat-cache read it
+    // saves. Interleaved A/B at 1.08M pages/local[32] (default → off →
+    // default, one window): stats 6.6/5.9 → 5.0/4.1 → 6.5/6.0 s; whole
+    // job 33.3/29.2 → 30.1/26.8 → 32.4/29.1 s. SPARK_GRAFT_STATS_NARROW=1
+    // re-enables the persist for future re-probes.
     val (stats, statsCaches) = Statistics.computeTracked(spark, nodes, edges,
       runId,
-      cacheNarrow = !sys.env.get("SPARK_GRAFT_STATS_NO_NARROW").contains("1"))
+      cacheNarrow = sys.env.get("SPARK_GRAFT_STATS_NARROW").contains("1"))
     val metrics = stats.unionByName(joinDecisionRows(spark, runId, rec))
 
     val cached: Seq[DataFrame] =
