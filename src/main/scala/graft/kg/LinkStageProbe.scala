@@ -41,11 +41,19 @@ object LinkStageProbe {
         .repartition(spark.sparkContext.defaultParallelism * 2)
         .mapPartitions(it => it.map(i => factory.page(i.toInt)))(
           org.apache.spark.sql.Encoders.product[PageRow])
+      // extract-stage decomposition: E0 generation+PageRow encode only;
+      // E1 + extract compute + DocOut encode (no cache store);
+      // E2 the production persist+count (adds the columnar store)
+      t("E0 pages noop")(noop(pages.toDF()))
+      val docOutPlain = KgExtract.run(spark, pages, dicts.aliases,
+        dicts.patterns, dicts.wdPartOf, cfg, useHtml = true, dicts.wdDesc,
+        idf = Some(dicts.idf)).toDF()
+      t("E1 docOut noop (no cache)")(noop(docOutPlain))
       val docOut = KgExtract.run(spark, pages, dicts.aliases, dicts.patterns,
         dicts.wdPartOf, cfg, useHtml = true, dicts.wdDesc,
         idf = Some(dicts.idf)).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t("docOut fill (count)")(docOut.count())
+      t("E2 docOut fill (count)")(docOut.count())
       val entities = docOut.select(
           when(length(col("scrape")) > 0, col("scrape")).as("p_extract"),
           explode(col("entities")).as("e"))
