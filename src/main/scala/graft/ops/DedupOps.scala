@@ -92,9 +92,22 @@ object DedupOps {
     * linear-scale near-dup path (shuffle = one groupBy on (band, bucket)). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val buckets = lshBuckets(spark, dir)
-    val a = buckets.toDF("doc_a", "band", "bucket")
+    val a = buckets.toDF("doc_a", "band1", "bucket1")
     val b = buckets.toDF("doc_b", "band2", "bucket2")
-    a.join(b, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+    // shuffle_hash + symmetric renames (guide §3.1, round 6): under the
+    // default broadcast self-join BOTH sides run the full signature map
+    // pass — the executed plan showed two complete scans+minhash_sig
+    // evaluations, one feeding the broadcast build. Hinting the
+    // shuffle-hash join makes the two sides identical hash exchanges —
+    // and it is the plan shape the join takes at 100 TB anyway (the
+    // bucket table outgrows the broadcast budget there). The rename of
+    // EVERY column on BOTH sides matters: a one-sided `band AS band2`
+    // leaves an extra Alias node in only one subtree, the canonicalized
+    // exchanges stop matching, and exchange reuse silently does not
+    // fire (verified via the executed plan — ReusedExchange present
+    // only with symmetric aliases).
+    a.join(b.hint("shuffle_hash"),
+        col("band1") === col("band2") && col("bucket1") === col("bucket2") &&
         col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
