@@ -68,13 +68,19 @@ object SimilarityOps {
     * local quadratic only inside buckets of ~N/256). */
   def simAnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).withColumn("bucket", call_function("lsh_bucket8", col("v")))
-    val a = e.select(col("bucket"), col("vec_id").as("query_id"),
+    // symmetric aliases + shuffle_hash (round 6, same reasoning as
+    // dd_minhash_lsh): the broadcast self-join evaluated the full
+    // vec-norm + hyperplane-bucket pass on BOTH sides; with the two
+    // sides canonically identical hash exchanges, exchange reuse runs
+    // it once — and the shuffle is the at-scale shape anyway.
+    val a = e.select(col("bucket").as("bucket1"), col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn"))
     val b = e.select(col("bucket").as("bucket2"), col("vec_id").as("neighbor_id"),
       col("v").as("nv"), col("nrm").as("nn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos4").desc, col("neighbor_id").asc)
-    a.join(b, col("bucket") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
+    a.join(b.hint("shuffle_hash"),
+        col("bucket1") === col("bucket2") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos4", round(
         call_function("vec_dot", col("qv"), col("nv")) /
           (col("qn") * col("nn")), 4))
