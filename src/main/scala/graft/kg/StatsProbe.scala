@@ -37,8 +37,8 @@ object StatsProbe {
       println(f"[stats]   $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       a
     }
-    val (passes, _) =
-      Statistics.passes(spark, res.nodes, res.edges, cacheNarrow = true)
+    val (passes, _) = Statistics.passes(spark, res.nodes, res.edges,
+      cacheNarrow = sys.env.get("SPARK_GRAFT_STATS_NARROW").contains("1"))
     (1 to reps).foreach { r =>
       println(s"[stats] round $r")
       passes.foreach { case (name, df) => t(name)(df.count()) }
